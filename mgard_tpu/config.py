@@ -1,0 +1,80 @@
+"""Runtime configuration.
+
+Mirrors the reference Config knobs (reference: include/mgard-x/Config/Config.h:10-46
+with defaults from src/mgard-x/Config/Config.cpp:33-68), dropping GPU-specific
+fields that have no TPU meaning (dev_type/dev_id: JAX owns device placement)
+and adding TPU-native ones (mesh/sharding controls).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+from .dtypes import (
+    block_delta_mode_type,
+    compressor_type,
+    cpu_parallelization_mode,
+    decomposition_type,
+    domain_decomposition_type,
+    lossless_type,
+)
+
+_UNLIMITED = 2**63 - 1
+
+
+@dataclasses.dataclass
+class Config:
+    # --- compression pipeline selection -------------------------------
+    compressor: compressor_type = compressor_type.MGARD
+    decomposition: decomposition_type = decomposition_type.MultiDim
+    lossless: lossless_type = lossless_type.Huffman
+
+    # --- quantization / entropy knobs ---------------------------------
+    estimate_outlier_ratio: float = 1.0
+    huff_dict_size: int = 8192
+    huff_block_size: int = 1024
+    block_delta_block_size: int = 256
+    block_delta_mode: block_delta_mode_type = block_delta_mode_type.Delta
+    lz4_block_size: int = 1 << 15
+    zstd_compress_level: int = 3
+
+    # --- hierarchy / shape handling ------------------------------------
+    normalize_coordinates: bool = True
+    reorder: int = 0
+    max_larget_level: int = _UNLIMITED  # (sic) reference spelling
+    adjust_shape: bool = False
+
+    # --- domain decomposition ------------------------------------------
+    domain_decomposition: domain_decomposition_type = domain_decomposition_type.MaxDim
+    domain_decomposition_dim: int = 0
+    domain_decomposition_sizes: Sequence[int] = dataclasses.field(default_factory=list)
+    max_memory_footprint: int = _UNLIMITED
+
+    # --- pipelining / host buffers --------------------------------------
+    prefetch: bool = False
+    auto_pin_host_buffers: bool = True
+    auto_cache_release: bool = False
+    cpu_mode: cpu_parallelization_mode = cpu_parallelization_mode.INTER_BLOCK
+
+    # --- MDR -------------------------------------------------------------
+    total_num_bitplanes: int = 32
+    block_size: int = 256
+    mdr_adaptive_resolution: bool = False
+    mdr_qoi_mode: bool = False
+    mdr_qoi_num_variables: int = 3
+
+    # --- hybrid refactoring ----------------------------------------------
+    num_local_refactoring_level: int = 1
+
+    # --- misc -------------------------------------------------------------
+    compress_with_dryrun: bool = False
+    log_level: int = 0
+
+    # --- TPU-native additions ----------------------------------------------
+    # Maximum number of outliers the fixed-size device capture buffer holds,
+    # as a fraction of total elements. Compression falls back to a larger
+    # buffer (re-trace) if exceeded.
+    outlier_capacity_ratio: float = 1.0 / 64.0
+    # Name of the mesh axis subdomains are sharded over (parallel pipeline).
+    mesh_axis: str = "subdomain"

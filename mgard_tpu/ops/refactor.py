@@ -1,0 +1,149 @@
+"""Multilevel decompose / recompose (the MGARD multigrid transform).
+
+TPU-native re-design of the reference MultiDimension DataRefactoring driver
+(reference: include/mgard-x/DataRefactoring/MultiDimension/
+DataRefactoring.hpp:24-300 — decompose: per level CopyND ->
+CalcCoefficients -> CalcCorrection -> AddND; recompose reverses) and of the
+legacy CPU decompose (reference: include/mgard/decompose.tpp:128-221).
+
+Output layout is the reference's nested-box ("reo") layout: after the full
+decomposition, the level-l data occupies the leading box level_shape[l] of
+the array, with level 0's coarse grid in the very corner — this is what makes
+the levelwise quantizer a single fused elementwise kernel with a per-node
+level lookup (reference: Hierarchy level_ranges/level_marks).
+
+Round-trip exactness is structural: recompose recomputes the identical
+interpolant and correction from the stored coefficients, so
+recompose(decompose(v)) == v up to float roundoff of the shared ops.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from ..hierarchy import Hierarchy
+from . import _be
+from .axis import mass_restrict_axis, merge_axis, prolong_axis, split_axis, tridiag_solve_axis
+
+
+def _box(v, shape: Sequence[int]):
+    return v[tuple(slice(0, s) for s in shape)]
+
+
+def _correction(resid, axes):
+    """L2 projection of the residual field onto the coarse grid:
+    per-axis mass+restriction, then per-axis tridiagonal solve
+    (reference: CalcCorrection3D.hpp:27-185 — Lpk1..3 then Ipk1..3)."""
+    corr = resid
+    for d, al in enumerate(axes):
+        corr = mass_restrict_axis(corr, d, al)
+    for d, al in enumerate(axes):
+        corr = tridiag_solve_axis(corr, d, al)
+    return corr
+
+
+def _extract_coarse(v, axes):
+    coarse = v
+    for d, al in enumerate(axes):
+        coarse, _ = split_axis(coarse, d, al.n_fine)
+    return coarse
+
+
+def decompose_level(v, hier: Hierarchy, l: int, orthogonal: bool = True):
+    """One coarsening step on the compact level-l box.
+
+    Returns the fine box in reordered layout: coarse values (+ correction if
+    orthogonal) in the leading coarse box, multilinear-interpolation
+    coefficients in the complementary slabs.
+    """
+    axes = hier.axis[l - 1]
+    D = hier.D
+
+    # Multilinear interpolant at every non-coarse node (coarse positions keep
+    # their original values, so v - interp is exactly 0 there).
+    interp = v
+    for d, al in enumerate(axes):
+        interp = prolong_axis(interp, d, al)
+    resid = v - interp
+
+    coarse = _extract_coarse(v, axes)
+    if orthogonal:
+        coarse = coarse + _correction(resid, axes)
+
+    # Reorder each axis into [coarse | coefficients]; composed over axes this
+    # produces the nested-box layout. The all-even class lands in the leading
+    # box holding zeros (resid is 0 there) and is overwritten by the coarse
+    # values.
+    reo = resid
+    for d, al in enumerate(axes):
+        c_part, x_part = split_axis(reo, d, al.n_fine)
+        reo = _be.concat([c_part, x_part], d)
+    return _be.update_box(reo, coarse, D)
+
+
+def recompose_level(reo, hier: Hierarchy, l: int, orthogonal: bool = True):
+    """Inverse of decompose_level."""
+    axes = hier.axis[l - 1]
+    D = hier.D
+    coarse_shape = hier.level_shape[l - 1]
+
+    coarse_box = _box(reo, coarse_shape)
+    resid_reo = _be.update_box(reo, _be.zeros(coarse_shape, reo.dtype, reo), D)
+    # Un-reorder back to physical (interleaved) positions.
+    resid = resid_reo
+    for d, al in enumerate(axes):
+        nc = al.n_coarse
+        c_part = _be.sl(resid, d, 0, nc)
+        x_part = _be.sl(resid, d, nc, al.n_fine)
+        resid = merge_axis(c_part, x_part, d, al.n_fine)
+
+    coarse_vals = coarse_box
+    if orthogonal:
+        coarse_vals = coarse_vals - _correction(resid, axes)
+
+    # Scatter coarse values back to their physical positions (zeros at the
+    # coefficient positions), then re-run the interpolation passes; they read
+    # only already-final values, reproducing decompose's interpolant exactly.
+    field = coarse_vals
+    for d, al in enumerate(axes):
+        coeff_shape = list(field.shape)
+        coeff_shape[d] = al.n_fine - al.n_coarse
+        field = merge_axis(field, _be.zeros(tuple(coeff_shape), field.dtype, field), d, al.n_fine)
+    interp = field
+    for d, al in enumerate(axes):
+        interp = prolong_axis(interp, d, al)
+    return interp + resid
+
+
+def decompose(v, hier: Hierarchy, orthogonal: bool = True):
+    """Full multilevel decomposition, finest to coarsest, nested-box output."""
+    D = hier.D
+    for l in range(hier.l_target, 0, -1):
+        fine_shape = hier.level_shape[l]
+        if l == hier.l_target:
+            fine = v
+        else:
+            fine = _box(v, fine_shape)
+        reo = decompose_level(fine, hier, l, orthogonal)
+        if l == hier.l_target:
+            v = reo
+        else:
+            v = _be.update_box(v, reo, D)
+    return v
+
+
+def recompose(v, hier: Hierarchy, orthogonal: bool = True):
+    """Full multilevel recomposition, coarsest to finest."""
+    D = hier.D
+    for l in range(1, hier.l_target + 1):
+        fine_shape = hier.level_shape[l]
+        if l == hier.l_target:
+            reo = v
+        else:
+            reo = _box(v, fine_shape)
+        rec = recompose_level(reo, hier, l, orthogonal)
+        if l == hier.l_target:
+            v = rec
+        else:
+            v = _be.update_box(v, rec, D)
+    return v
