@@ -1,0 +1,189 @@
+"""Self-describing compressed-file metadata header.
+
+Re-design of the reference Metadata (reference: include/mgard-x/Metadata/
+Metadata.hpp:20-262, src/mgard-x/Metadata/Metadata.cpp:28-38): a binary
+header carrying everything needed to decompress with zero external state —
+magic signature, versions, dtype/shape/coords, decomposition type, error
+bound (type, tol, s, norm), lossless backend and its knobs, domain
+decomposition — protected by CRC32.
+
+The byte layout is this framework's own (little-endian, struct-packed); the
+field set matches the reference's so the format is equally self-describing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..dtypes import (
+    bitplane_encoding_type,
+    data_structure_type,
+    data_type,
+    decomposition_type,
+    domain_decomposition_type,
+    endiness_type,
+    error_bound_type,
+    lossless_type,
+    norm_type,
+    operation_type,
+    processor_type,
+)
+
+MAGIC = b"MGARDTPU"
+SOFTWARE_VERSION = (0, 1, 0)
+FILE_VERSION = (1, 0, 0)
+
+
+class FormatError(ValueError):
+    pass
+
+
+@dataclasses.dataclass
+class Metadata:
+    dtype: data_type = data_type.Float
+    shape: Sequence[int] = ()
+    dstype: data_structure_type = data_structure_type.Cartesian_Grid_Uniform
+    coords: Optional[List[np.ndarray]] = None  # float64 per-dim, non-uniform only
+
+    decomposition: decomposition_type = decomposition_type.MultiDim
+    l_target: int = 0
+    reorder: int = 0
+
+    domain_decomposed: bool = False
+    ddtype: domain_decomposition_type = domain_decomposition_type.MaxDim
+    domain_decomposed_dim: int = 0
+    domain_decomposed_size: int = 0
+
+    otype: operation_type = operation_type.Compression
+    betype: bitplane_encoding_type = bitplane_encoding_type.GroupedBitplaneEncoding
+    number_bitplanes: int = 0
+
+    ebtype: error_bound_type = error_bound_type.ABS
+    norm: float = 0.0
+    tol: float = 0.0
+    ntype: norm_type = norm_type.L_Inf
+    s: float = float("inf")
+
+    ltype: lossless_type = lossless_type.Huffman
+    huff_dict_size: int = 8192
+    huff_block_size: int = 1024
+    block_delta_block_size: int = 256
+
+    ptype: processor_type = processor_type.X_TPU
+
+    def serialize(self) -> bytes:
+        body = bytearray()
+        body += struct.pack("<3B3B", *SOFTWARE_VERSION, *FILE_VERSION)
+        body += struct.pack("<B", endiness_type.Little_Endian)
+        body += struct.pack("<BB", int(self.dtype), int(self.dstype))
+        body += struct.pack("<B", len(self.shape))
+        for n in self.shape:
+            body += struct.pack("<Q", int(n))
+        if self.dstype == data_structure_type.Cartesian_Grid_Non_Uniform:
+            if self.coords is None or len(self.coords) != len(self.shape):
+                raise FormatError("non-uniform metadata requires per-dim coords")
+            for c in self.coords:
+                body += np.asarray(c, dtype="<f8").tobytes()
+        body += struct.pack(
+            "<BII", int(self.decomposition), int(self.l_target), int(self.reorder)
+        )
+        body += struct.pack(
+            "<BBBQ",
+            1 if self.domain_decomposed else 0,
+            int(self.ddtype),
+            int(self.domain_decomposed_dim),
+            int(self.domain_decomposed_size),
+        )
+        body += struct.pack("<BBQ", int(self.otype), int(self.betype), int(self.number_bitplanes))
+        body += struct.pack(
+            "<BddBd", int(self.ebtype), float(self.norm), float(self.tol), int(self.ntype), float(self.s)
+        )
+        body += struct.pack(
+            "<BIII",
+            int(self.ltype),
+            int(self.huff_dict_size),
+            int(self.huff_block_size),
+            int(self.block_delta_block_size),
+        )
+        body += struct.pack("<B", int(self.ptype))
+
+        crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+        header = MAGIC + struct.pack("<II", len(body), crc)
+        return header + bytes(body)
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> tuple["Metadata", int]:
+        """Parse header; returns (metadata, total header size in bytes)."""
+        if len(data) < len(MAGIC) + 8 or data[: len(MAGIC)] != MAGIC:
+            raise FormatError("not an mgard-tpu stream (bad signature)")
+        off = len(MAGIC)
+        size, crc = struct.unpack_from("<II", data, off)
+        off += 8
+        body = bytes(data[off : off + size])
+        if len(body) != size:
+            raise FormatError("truncated metadata")
+        if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+            raise FormatError("metadata CRC32 mismatch (corrupted header)")
+
+        m = cls()
+        p = 0
+        sv = struct.unpack_from("<3B", body, p)
+        p += 3
+        fv = struct.unpack_from("<3B", body, p)
+        p += 3
+        if fv[0] != FILE_VERSION[0]:
+            raise FormatError(f"unsupported file version {fv}")
+        (_endian,) = struct.unpack_from("<B", body, p)
+        p += 1
+        dt, ds = struct.unpack_from("<BB", body, p)
+        p += 2
+        m.dtype = data_type(dt)
+        m.dstype = data_structure_type(ds)
+        (d,) = struct.unpack_from("<B", body, p)
+        p += 1
+        shape = []
+        for _ in range(d):
+            (n,) = struct.unpack_from("<Q", body, p)
+            p += 8
+            shape.append(n)
+        m.shape = tuple(shape)
+        if m.dstype == data_structure_type.Cartesian_Grid_Non_Uniform:
+            m.coords = []
+            for n in shape:
+                c = np.frombuffer(body, dtype="<f8", count=n, offset=p).copy()
+                p += 8 * n
+                m.coords.append(c)
+        dec, lt, ro = struct.unpack_from("<BII", body, p)
+        p += 9
+        m.decomposition = decomposition_type(dec)
+        m.l_target, m.reorder = lt, ro
+        dd, ddt, dddim, ddsize = struct.unpack_from("<BBBQ", body, p)
+        p += 11
+        m.domain_decomposed = bool(dd)
+        m.ddtype = domain_decomposition_type(ddt)
+        m.domain_decomposed_dim, m.domain_decomposed_size = dddim, ddsize
+        ot, bt, nbp = struct.unpack_from("<BBQ", body, p)
+        p += 10
+        m.otype, m.betype, m.number_bitplanes = operation_type(ot), bitplane_encoding_type(bt), nbp
+        eb, norm, tol, nt, s = struct.unpack_from("<BddBd", body, p)
+        p += 26
+        m.ebtype, m.norm, m.tol, m.ntype, m.s = (
+            error_bound_type(eb),
+            norm,
+            tol,
+            norm_type(nt),
+            s,
+        )
+        ltp, hds, hbs, bdbs = struct.unpack_from("<BIII", body, p)
+        p += 13
+        m.ltype = lossless_type(ltp)
+        m.huff_dict_size, m.huff_block_size, m.block_delta_block_size = hds, hbs, bdbs
+        (pt,) = struct.unpack_from("<B", body, p)
+        p += 1
+        m.ptype = processor_type(pt)
+        return m, len(MAGIC) + 8 + size

@@ -1,0 +1,298 @@
+"""High-level compression API: mgard_tpu.compress / decompress.
+
+Mirrors the reference's dynamic API surface and pipeline
+(reference: include/compress_x.hpp:31-159, include/mgard-x/
+CompressionHighLevel/CompressionHighLevel.hpp:47-667):
+shape validation -> hierarchy (cached) -> norm for REL bounds ->
+jitted [decompose -> quantize(+outlier capture)] -> lossless stage ->
+self-describing blob (Metadata header + outliers + entropy payload).
+Exceptions are translated to compress_status_type like the reference's
+general_compress try/catch (CompressionHighLevel.hpp:291-309).
+
+The device pipeline is one fused XLA program per (shape, dtype, config
+signature); tolerance/norm enter as dynamic scalars so repeated calls with
+different bounds never retrace.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .dtypes import (
+    MAX_DIM,
+    compress_status_type,
+    data_structure_type,
+    data_type,
+    decomposition_type,
+    dtype_enum,
+    error_bound_type,
+    lossless_type,
+    norm_type,
+    np_dtype,
+)
+from .formats.metadata import FormatError, Metadata
+from .hierarchy import Hierarchy, get_hierarchy
+from .lossless import lossless_compress, lossless_decompress
+from .lossless.huffman import device_get_prefix
+from .ops import quantize as Q
+from .ops.refactor import decompose, recompose
+
+
+def infer_orthogonal_projection(s: float) -> bool:
+    """Hierarchical fast path for L-infinity bounds (reference:
+    Compressor.hpp:229-236): s == inf skips the mass-matrix correction and
+    the quantizer widens accordingly."""
+    return not math.isinf(s)
+
+
+def _prep_huffman(config: Config) -> bool:
+    # reference: LinearQuantization.hpp:321-327
+    return config.lossless not in (
+        lossless_type.CPU_Lossless,
+        lossless_type.BlockDelta,
+        lossless_type.LZ4,
+    )
+
+
+# ----------------------------------------------------------------------
+# Jitted cores
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("s_inf", "normalize"))
+def _norm_kernel(v, s_inf: bool, normalize: bool):
+    if s_inf:
+        return jnp.max(jnp.abs(v))
+    acc = jnp.sum(v.astype(jnp.float64) ** 2)
+    if normalize:
+        acc = acc / v.size
+    return jnp.sqrt(acc).astype(v.dtype)
+
+
+def calculate_norm(v, s: float, normalize: bool) -> float:
+    n = float(_norm_kernel(v, math.isinf(s), normalize))
+    if n == 0.0:
+        n = float(np.finfo(np.asarray(v).dtype).eps)
+    return n
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "outlier_cap", "s_inf"),
+)
+def _compress_core(v, quantizers, hier, orthogonal, prep_huffman, dict_size, outlier_cap, s_inf):
+    dec = decompose(v, hier, orthogonal)
+    return Q.quantize_with_scales(
+        dec, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_cap
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "s_inf"),
+)
+def _decompress_core(
+    qflat, quantizers, outlier_idx, outlier_val, hier, orthogonal, prep_huffman, dict_size, s_inf
+):
+    dec = Q.dequantize_with_scales(
+        qflat, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_idx, outlier_val
+    )
+    return recompose(dec, hier, orthogonal)
+
+
+# ----------------------------------------------------------------------
+# Payload helpers
+# ----------------------------------------------------------------------
+def _serialize_outliers(count: int, idx, val) -> bytes:
+    idx_h = device_get_prefix(idx, count).astype("<i8")
+    val_h = device_get_prefix(val, count).astype("<i8")
+    # delta-encode sorted indices for compressibility
+    if count:
+        idx_d = np.diff(idx_h, prepend=np.int64(0))
+    else:
+        idx_d = idx_h
+    iz = zlib.compress(idx_d.tobytes(), 3)
+    vz = zlib.compress(val_h.tobytes(), 3)
+    return struct.pack("<QQQ", count, len(iz), len(vz)) + iz + vz
+
+
+def _deserialize_outliers(data: bytes, offset: int):
+    count, ni, nv = struct.unpack_from("<QQQ", data, offset)
+    p = offset + 24
+    idx_d = np.frombuffer(zlib.decompress(data[p : p + ni]), dtype="<i8")
+    p += ni
+    val = np.frombuffer(zlib.decompress(data[p : p + nv]), dtype="<i8")
+    p += nv
+    idx = np.cumsum(idx_d).astype(np.int64) if count else idx_d.astype(np.int64)
+    return idx, val.astype(np.int64), p - offset
+
+
+# ----------------------------------------------------------------------
+# Public API
+# ----------------------------------------------------------------------
+def compress(
+    data,
+    tol: float,
+    s: float = math.inf,
+    mode: error_bound_type = error_bound_type.ABS,
+    config: Optional[Config] = None,
+    coords: Optional[Sequence[np.ndarray]] = None,
+) -> Tuple[bytes, compress_status_type]:
+    """Compress a 1D-5D float32/float64 array under an error bound.
+
+    Returns (blob, status). Mirrors mgard_x::compress
+    (reference: compress_x.hpp:31-107).
+    """
+    config = config or Config()
+    try:
+        arr = data if isinstance(data, jax.Array) else np.asarray(data)
+        if arr.ndim < 1 or arr.ndim > MAX_DIM:
+            return b"", compress_status_type.NotSupportHigherNumberOfDimensionsFailure
+        try:
+            dt = dtype_enum(arr.dtype)
+        except TypeError:
+            return b"", compress_status_type.NotSupportDataTypeFailure
+
+        shape = tuple(int(x) for x in arr.shape)
+        hier = get_hierarchy(shape, arr.dtype, coords, config)
+        s_inf = math.isinf(s)
+        orthogonal = infer_orthogonal_projection(s)
+        prep = _prep_huffman(config)
+
+        norm = 0.0
+        v = jnp.asarray(arr)
+        if mode == error_bound_type.REL:
+            norm = calculate_norm(v, s, config.normalize_coordinates)
+
+        quantizers = hier.quantizers(
+            tol, s, norm, mode, config.decomposition, orthogonal
+        )
+        n = hier.total_num_elems
+        cap = max(4096, int(n * config.outlier_capacity_ratio))
+        cap = min(cap, n)
+        qres = _compress_core(
+            v, jnp.asarray(quantizers), hier, orthogonal, prep,
+            int(config.huff_dict_size), cap, s_inf,
+        )
+        count = int(qres.outlier_count)
+        if count > cap:
+            # rare: retry with full capacity (reference aborts with
+            # OutputTooLargeFailure; we widen instead)
+            qres = _compress_core(
+                v, jnp.asarray(quantizers), hier, orthogonal, prep,
+                int(config.huff_dict_size), n, s_inf,
+            )
+            count = int(qres.outlier_count)
+
+        payload = _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
+        payload += lossless_compress(qres.quantized.ravel(), config)
+
+        meta = Metadata(
+            dtype=dt,
+            shape=shape,
+            dstype=(
+                data_structure_type.Cartesian_Grid_Uniform
+                if coords is None
+                else data_structure_type.Cartesian_Grid_Non_Uniform
+            ),
+            coords=[np.asarray(c, np.float64) for c in coords] if coords is not None else None,
+            decomposition=config.decomposition,
+            l_target=hier.l_target,
+            reorder=config.reorder,
+            ebtype=mode,
+            norm=norm,
+            tol=float(tol),
+            ntype=norm_type.L_Inf if s_inf else norm_type.L_2,
+            s=float(s),
+            ltype=config.lossless,
+            huff_dict_size=config.huff_dict_size,
+            huff_block_size=config.huff_block_size,
+            block_delta_block_size=config.block_delta_block_size,
+        )
+        return meta.serialize() + payload, compress_status_type.Success
+    except FormatError:
+        return b"", compress_status_type.Failure
+    except Exception:  # mirror general_compress's catch-all translation
+        import traceback
+
+        traceback.print_exc()
+        return b"", compress_status_type.Failure
+
+
+def decompress(
+    blob: bytes, config: Optional[Config] = None
+) -> Tuple[Optional[np.ndarray], compress_status_type]:
+    """Decompress a self-describing mgard-tpu blob.
+
+    Returns (array, status). Mirrors mgard_x::decompress
+    (reference: compress_x.hpp:109-154).
+    """
+    try:
+        meta, off = Metadata.deserialize(blob)
+    except (FormatError, struct.error):
+        return None, compress_status_type.Failure
+    try:
+        cfg = config or Config()
+        cfg.lossless = meta.ltype
+        cfg.huff_dict_size = meta.huff_dict_size
+        cfg.huff_block_size = meta.huff_block_size
+        cfg.decomposition = meta.decomposition
+        cfg.block_delta_block_size = meta.block_delta_block_size
+
+        dtype = np_dtype(meta.dtype)
+        shape = tuple(meta.shape)
+        hier = get_hierarchy(shape, dtype, meta.coords, cfg)
+        s = meta.s
+        s_inf = math.isinf(s)
+        orthogonal = infer_orthogonal_projection(s)
+        prep = _prep_huffman(cfg)
+
+        out_idx, out_val, used = _deserialize_outliers(blob, off)
+        off += used
+        # pad outlier arrays to a coarse bucket so varying counts don't
+        # retrace the decompress program (fill index n is dropped on scatter)
+        from .lossless.huffman import _bucket
+
+        m = len(out_idx)
+        mb = min(_bucket(max(m, 1)), max(hier.total_num_elems, 1))
+        mb = max(mb, m)
+        pad_idx = np.full(mb, hier.total_num_elems, np.int64)
+        pad_idx[:m] = out_idx
+        pad_val = np.zeros(mb, np.int64)
+        pad_val[:m] = out_val
+        out_idx, out_val = pad_idx, pad_val
+        qflat, used = lossless_decompress(blob, off)
+        if int(qflat.shape[0]) != hier.total_num_elems:
+            raise FormatError(
+                f"payload has {int(qflat.shape[0])} symbols, expected {hier.total_num_elems}"
+            )
+
+        quantizers = hier.quantizers(
+            meta.tol, s, meta.norm, meta.ebtype, meta.decomposition, orthogonal
+        )
+        rec = _decompress_core(
+            qflat,
+            jnp.asarray(quantizers),
+            jnp.asarray(out_idx),
+            jnp.asarray(out_val),
+            hier,
+            orthogonal,
+            prep,
+            int(meta.huff_dict_size),
+            s_inf,
+        )
+        return np.asarray(rec), compress_status_type.Success
+    except FormatError:
+        return None, compress_status_type.Failure
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        return None, compress_status_type.Failure

@@ -13,6 +13,9 @@ one fused elementwise pass over the nested-box decomposed array that
 The reference appends outliers with device-wide atomics; on TPU we use a
 deterministic masked prefix-capture (jnp.nonzero with static size), which is
 reproducible run-to-run (the reference's atomic order is not).
+
+Per-level quantizer steps arrive as a dynamic (l_target+1,) array so that
+changing the tolerance or norm never retraces the XLA program.
 """
 
 from __future__ import annotations
@@ -45,36 +48,34 @@ def node_levels(hier: Hierarchy):
     return jnp.broadcast_to(lvl, hier.shape)
 
 
-def _level_scales(hier: Hierarchy, quantizers: np.ndarray, s: float, reciprocal: bool):
-    """Per-level multiplicative factors.
+def _scales(hier: Hierarchy, quantizers, s_inf: bool, reciprocal: bool, dtype):
+    """Per-level multiplicative factors, computed in-graph.
 
     quantize factor = sqrt(level volume)/q_l (volume only when s != inf);
     dequantize factor is the reciprocal (reference: LinearQuantization.hpp
     quantize `t * quantizer * volume` with reciprocal quantizers /
-    dequantize `(quantizer * volume) * q` with reciprocal volumes).
-    """
-    q = np.asarray(quantizers, dtype=np.float64)
-    if np.isinf(s):
+    dequantize `(quantizer * volume) * q` with reciprocal volumes)."""
+    q = quantizers.astype(jnp.float64)
+    if s_inf:
         scale = 1.0 / q if reciprocal else q
     else:
-        vol = hier.vol_sqrt
+        vol = jnp.asarray(hier.vol_sqrt)
         scale = vol / q if reciprocal else q / vol
-    return scale.astype(hier.dtype)
+    return scale.astype(dtype)
 
 
-def quantize(
+def quantize_with_scales(
     dec,
     hier: Hierarchy,
-    quantizers: np.ndarray,
-    s: float,
+    quantizers,
+    s_inf: bool,
     prep_huffman: bool,
     dict_size: int,
-    outlier_capacity: int,
+    outlier_cap: int,
 ) -> QuantizedResult:
-    """Quantize a decomposed (nested-box) array."""
+    """Quantize a decomposed (nested-box) array (jit-friendly)."""
     levels = node_levels(hier)
-    scales = jnp.asarray(_level_scales(hier, quantizers, s, reciprocal=True))
-    scale = scales[levels]
+    scale = _scales(hier, quantizers, s_inf, True, dec.dtype)[levels]
     t = dec * scale
     # round half away from zero, exactly as the reference:
     # copysign(0.5 + |t|, t) truncated (LinearQuantization.hpp:99-104)
@@ -85,17 +86,17 @@ def quantize(
         qs = q + shift
         in_range = (qs >= 0) & (qs < dict_size)
     else:
-        # Signed backends: int32 range guard only.
         qs = q
         in_range = jnp.abs(q) < 2**31 - 1
 
     flat_q = jnp.where(in_range, qs, float(shift)).ravel().astype(QUANTIZED_DTYPE)
     mask = ~in_range.ravel()
     count = mask.sum(dtype=jnp.int32)
-    (idx,) = jnp.nonzero(mask, size=outlier_capacity, fill_value=hier.total_num_elems)
+    n = hier.total_num_elems
+    (idx,) = jnp.nonzero(mask, size=outlier_cap, fill_value=n)
     val = jnp.where(
-        idx < hier.total_num_elems,
-        q.ravel().astype(OUTLIER_DTYPE)[jnp.minimum(idx, hier.total_num_elems - 1)],
+        idx < n,
+        q.ravel().astype(OUTLIER_DTYPE)[jnp.minimum(idx, n - 1)],
         0,
     )
     return QuantizedResult(
@@ -106,11 +107,11 @@ def quantize(
     )
 
 
-def dequantize(
+def dequantize_with_scales(
     quantized,
     hier: Hierarchy,
-    quantizers: np.ndarray,
-    s: float,
+    quantizers,
+    s_inf: bool,
     prep_huffman: bool,
     dict_size: int,
     outlier_idx=None,
@@ -118,14 +119,32 @@ def dequantize(
 ):
     """Inverse of quantize: restore outliers, unshift, scale back."""
     shift = dict_size // 2 if prep_huffman else 0
-    qflat = quantized.ravel().astype(jnp.float64 if hier.dtype == np.float64 else jnp.float32)
-    qflat = qflat - shift
+    work_dtype = jnp.float64 if hier.dtype == np.float64 else jnp.float32
+    qflat = quantized.ravel().astype(work_dtype) - shift
     if outlier_idx is not None:
-        safe_idx = jnp.minimum(outlier_idx, hier.total_num_elems)  # cap fill entries
+        n = hier.total_num_elems
+        safe_idx = jnp.minimum(outlier_idx, n)  # cap fill entries to drop them
         qflat = qflat.at[safe_idx].set(
-            outlier_val.astype(qflat.dtype), mode="drop", indices_are_sorted=True
+            outlier_val.astype(work_dtype), mode="drop", indices_are_sorted=True
         )
     levels = node_levels(hier)
-    scales = jnp.asarray(_level_scales(hier, quantizers, s, reciprocal=False))
-    scale = scales[levels]
+    scale = _scales(hier, quantizers, s_inf, False, work_dtype)[levels]
     return qflat.reshape(hier.shape) * scale
+
+
+# Convenience non-jit entry points used by tests (numpy quantizers).
+def quantize(dec, hier, quantizers, s, prep_huffman, dict_size, outlier_capacity):
+    return quantize_with_scales(
+        jnp.asarray(dec), hier, jnp.asarray(np.asarray(quantizers)),
+        bool(np.isinf(s)), prep_huffman, dict_size, outlier_capacity,
+    )
+
+
+def dequantize(quantized, hier, quantizers, s, prep_huffman, dict_size,
+               outlier_idx=None, outlier_val=None):
+    return dequantize_with_scales(
+        jnp.asarray(quantized), hier, jnp.asarray(np.asarray(quantizers)),
+        bool(np.isinf(s)), prep_huffman, dict_size,
+        None if outlier_idx is None else jnp.asarray(outlier_idx),
+        None if outlier_val is None else jnp.asarray(outlier_val),
+    )
