@@ -58,6 +58,8 @@ class Metadata:
     ddtype: domain_decomposition_type = domain_decomposition_type.MaxDim
     domain_decomposed_dim: int = 0
     domain_decomposed_size: int = 0
+    # per-subdomain sizes along domain_decomposed_dim (Variable strategy only)
+    dd_variable_sizes: Sequence[int] = ()
 
     otype: operation_type = operation_type.Compression
     betype: bitplane_encoding_type = bitplane_encoding_type.GroupedBitplaneEncoding
@@ -99,6 +101,9 @@ class Metadata:
             int(self.domain_decomposed_dim),
             int(self.domain_decomposed_size),
         )
+        body += struct.pack("<I", len(self.dd_variable_sizes))
+        for v in self.dd_variable_sizes:
+            body += struct.pack("<Q", int(v))
         body += struct.pack("<BBQ", int(self.otype), int(self.betype), int(self.number_bitplanes))
         body += struct.pack(
             "<BddBd", int(self.ebtype), float(self.norm), float(self.tol), int(self.ntype), float(self.s)
@@ -167,6 +172,14 @@ class Metadata:
         m.domain_decomposed = bool(dd)
         m.ddtype = domain_decomposition_type(ddt)
         m.domain_decomposed_dim, m.domain_decomposed_size = dddim, ddsize
+        (nvar,) = struct.unpack_from("<I", body, p)
+        p += 4
+        var_sizes = []
+        for _ in range(nvar):
+            (vs,) = struct.unpack_from("<Q", body, p)
+            p += 8
+            var_sizes.append(vs)
+        m.dd_variable_sizes = tuple(var_sizes)
         ot, bt, nbp = struct.unpack_from("<BBQ", body, p)
         p += 10
         m.otype, m.betype, m.number_bitplanes = operation_type(ot), bitplane_encoding_type(bt), nbp

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
+from .decomposer import DomainDecomposer, calc_local_abs_tol
 from .dtypes import (
     MAX_DIM,
     compress_status_type,
@@ -137,6 +138,40 @@ def _deserialize_outliers(data: bytes, offset: int):
 # ----------------------------------------------------------------------
 # Public API
 # ----------------------------------------------------------------------
+def _compress_subdomain(
+    v,
+    hier: Hierarchy,
+    config: Config,
+    abs_tol: float,
+    s: float,
+    orthogonal: bool,
+    prep: bool,
+) -> bytes:
+    """Compress one device-resident subdomain to a payload section
+    (outliers + lossless stage). Plays the role of Compressor::Compress
+    (reference: Compressor.hpp:205-252) for one DomainDecomposer subdomain."""
+    s_inf = math.isinf(s)
+    quantizers = hier.quantizers(
+        abs_tol, s, 0.0, error_bound_type.ABS, config.decomposition, orthogonal
+    )
+    n = hier.total_num_elems
+    cap = min(max(4096, int(n * config.outlier_capacity_ratio)), n)
+    qres = _compress_core(
+        v, jnp.asarray(quantizers), hier, orthogonal, prep,
+        int(config.huff_dict_size), cap, s_inf,
+    )
+    count = int(qres.outlier_count)
+    if count > cap:
+        qres = _compress_core(
+            v, jnp.asarray(quantizers), hier, orthogonal, prep,
+            int(config.huff_dict_size), n, s_inf,
+        )
+        count = int(qres.outlier_count)
+    section = _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
+    section += lossless_compress(qres.quantized.ravel(), config)
+    return section
+
+
 def compress(
     data,
     tol: float,
@@ -148,7 +183,9 @@ def compress(
     """Compress a 1D-5D float32/float64 array under an error bound.
 
     Returns (blob, status). Mirrors mgard_x::compress
-    (reference: compress_x.hpp:31-107).
+    (reference: compress_x.hpp:31-107), including automatic domain
+    decomposition for larger-than-memory inputs
+    (reference: CompressionHighLevel.hpp:47-283).
     """
     config = config or Config()
     try:
@@ -161,39 +198,74 @@ def compress(
             return b"", compress_status_type.NotSupportDataTypeFailure
 
         shape = tuple(int(x) for x in arr.shape)
-        hier = get_hierarchy(shape, arr.dtype, coords, config)
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(config)
 
+        dd = DomainDecomposer(shape, arr.dtype, config)
+        S = dd.num_subdomains
+
+        # Global norm (REL): max / sum-of-squares over subdomains
+        # (reference: calc_norm_decomposed_w_prefetch).
         norm = 0.0
-        v = jnp.asarray(arr)
         if mode == error_bound_type.REL:
-            norm = calculate_norm(v, s, config.normalize_coordinates)
+            if S == 1:
+                norm = calculate_norm(jnp.asarray(arr), s, config.normalize_coordinates)
+            else:
+                acc = 0.0
+                for i in range(S):
+                    sub = jnp.asarray(arr[dd.subdomain_slices(i)])
+                    if s_inf:
+                        acc = max(acc, float(_norm_kernel(sub, True, False)))
+                    else:
+                        acc += float(_norm_kernel(sub, False, False)) ** 2
+                if s_inf:
+                    norm = acc
+                elif config.normalize_coordinates:
+                    norm = math.sqrt(acc / int(np.prod(shape)))
+                else:
+                    norm = math.sqrt(acc)
+                if norm == 0.0:
+                    norm = float(np.finfo(arr.dtype).eps)
 
-        quantizers = hier.quantizers(
-            tol, s, norm, mode, config.decomposition, orthogonal
+        local_tol = calc_local_abs_tol(mode, norm, tol, s, S)
+
+        sections = []
+        coords_list = (
+            [np.asarray(c, np.float64) for c in coords] if coords is not None else None
         )
-        n = hier.total_num_elems
-        cap = max(4096, int(n * config.outlier_capacity_ratio))
-        cap = min(cap, n)
-        qres = _compress_core(
-            v, jnp.asarray(quantizers), hier, orthogonal, prep,
-            int(config.huff_dict_size), cap, s_inf,
-        )
-        count = int(qres.outlier_count)
-        if count > cap:
-            # rare: retry with full capacity (reference aborts with
-            # OutputTooLargeFailure; we widen instead)
-            qres = _compress_core(
-                v, jnp.asarray(quantizers), hier, orthogonal, prep,
-                int(config.huff_dict_size), n, s_inf,
+        for i in range(S):
+            sls = dd.subdomain_slices(i)
+            sub_coords = (
+                [c[sl] for c, sl in zip(coords_list, sls)] if coords_list else None
             )
-            count = int(qres.outlier_count)
+            hier = get_hierarchy(dd.subdomain_shape(i), arr.dtype, sub_coords, config)
+            v = jnp.asarray(arr[sls]) if not isinstance(arr, jax.Array) else arr[sls]
+            sections.append(
+                _compress_subdomain(v, hier, config, local_tol, s, orthogonal, prep)
+            )
 
-        payload = _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
-        payload += lossless_compress(qres.quantized.ravel(), config)
+        payload = b"".join(
+            struct.pack("<Q", len(sec)) + sec for sec in sections
+        )
 
+        var_sizes = ()
+        from .dtypes import domain_decomposition_type as _ddt
+
+        if dd.domain_decomposed and config.domain_decomposition == _ddt.Variable:
+            var_sizes = tuple(
+                dd.subdomain_shape(i)[dd.domain_decomposed_dim] for i in range(S)
+            )
+
+        # l_target recorded from the first subdomain's hierarchy
+        first_hier = get_hierarchy(
+            dd.subdomain_shape(0),
+            arr.dtype,
+            [c[sl] for c, sl in zip(coords_list, dd.subdomain_slices(0))]
+            if coords_list
+            else None,
+            config,
+        )
         meta = Metadata(
             dtype=dt,
             shape=shape,
@@ -202,10 +274,15 @@ def compress(
                 if coords is None
                 else data_structure_type.Cartesian_Grid_Non_Uniform
             ),
-            coords=[np.asarray(c, np.float64) for c in coords] if coords is not None else None,
+            coords=coords_list,
             decomposition=config.decomposition,
-            l_target=hier.l_target,
+            l_target=first_hier.l_target,
             reorder=config.reorder,
+            domain_decomposed=dd.domain_decomposed,
+            ddtype=config.domain_decomposition,
+            domain_decomposed_dim=dd.domain_decomposed_dim,
+            domain_decomposed_size=dd.domain_decomposed_size,
+            dd_variable_sizes=var_sizes,
             ebtype=mode,
             norm=norm,
             tol=float(tol),
@@ -248,47 +325,64 @@ def decompress(
 
         dtype = np_dtype(meta.dtype)
         shape = tuple(meta.shape)
-        hier = get_hierarchy(shape, dtype, meta.coords, cfg)
         s = meta.s
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(cfg)
 
-        out_idx, out_val, used = _deserialize_outliers(blob, off)
-        off += used
-        # pad outlier arrays to a coarse bucket so varying counts don't
-        # retrace the decompress program (fill index n is dropped on scatter)
-        from .lossless.huffman import _bucket
+        dd = DomainDecomposer.from_metadata(shape, dtype, meta, cfg)
+        S = dd.num_subdomains
+        local_tol = calc_local_abs_tol(meta.ebtype, meta.norm, meta.tol, s, S)
 
-        m = len(out_idx)
-        mb = min(_bucket(max(m, 1)), max(hier.total_num_elems, 1))
-        mb = max(mb, m)
-        pad_idx = np.full(mb, hier.total_num_elems, np.int64)
-        pad_idx[:m] = out_idx
-        pad_val = np.zeros(mb, np.int64)
-        pad_val[:m] = out_val
-        out_idx, out_val = pad_idx, pad_val
-        qflat, used = lossless_decompress(blob, off)
-        if int(qflat.shape[0]) != hier.total_num_elems:
-            raise FormatError(
-                f"payload has {int(qflat.shape[0])} symbols, expected {hier.total_num_elems}"
+        out = np.empty(shape, dtype)
+        coords_list = meta.coords
+        for i in range(S):
+            (sec_len,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            sec_end = off + sec_len
+            sls = dd.subdomain_slices(i)
+            sub_coords = (
+                [c[sl] for c, sl in zip(coords_list, sls)] if coords_list else None
             )
+            hier = get_hierarchy(dd.subdomain_shape(i), dtype, sub_coords, cfg)
 
-        quantizers = hier.quantizers(
-            meta.tol, s, meta.norm, meta.ebtype, meta.decomposition, orthogonal
-        )
-        rec = _decompress_core(
-            qflat,
-            jnp.asarray(quantizers),
-            jnp.asarray(out_idx),
-            jnp.asarray(out_val),
-            hier,
-            orthogonal,
-            prep,
-            int(meta.huff_dict_size),
-            s_inf,
-        )
-        return np.asarray(rec), compress_status_type.Success
+            out_idx, out_val, used = _deserialize_outliers(blob, off)
+            pos = off + used
+            # pad outlier arrays to a coarse bucket so varying counts don't
+            # retrace the decompress program (fill index n is dropped)
+            from .lossless.huffman import _bucket
+
+            m = len(out_idx)
+            mb = max(min(_bucket(max(m, 1)), max(hier.total_num_elems, 1)), m)
+            pad_idx = np.full(mb, hier.total_num_elems, np.int64)
+            pad_idx[:m] = out_idx
+            pad_val = np.zeros(mb, np.int64)
+            pad_val[:m] = out_val
+
+            qflat, used = lossless_decompress(blob, pos)
+            if int(qflat.shape[0]) != hier.total_num_elems:
+                raise FormatError(
+                    f"subdomain {i}: payload has {int(qflat.shape[0])} symbols, "
+                    f"expected {hier.total_num_elems}"
+                )
+
+            quantizers = hier.quantizers(
+                local_tol, s, 0.0, error_bound_type.ABS, meta.decomposition, orthogonal
+            )
+            rec = _decompress_core(
+                qflat,
+                jnp.asarray(quantizers),
+                jnp.asarray(pad_idx),
+                jnp.asarray(pad_val),
+                hier,
+                orthogonal,
+                prep,
+                int(meta.huff_dict_size),
+                s_inf,
+            )
+            out[sls] = np.asarray(rec)
+            off = sec_end
+        return out, compress_status_type.Success
     except FormatError:
         return None, compress_status_type.Failure
     except Exception:
