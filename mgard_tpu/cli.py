@@ -1,0 +1,210 @@
+"""Command-line interface: `python -m mgard_tpu.cli` (or the `mgard-tpu`
+console script).
+
+Flag-compatible with the reference `mgard-x` executable
+(reference: src/mgard-x/Executables/mgard-x.cpp:25-52 usage): -z/-x modes,
+-i/-o, -dt s|d, -dim D n1..nD, -em abs|rel, -e, -s, -l backend names,
+optional -v verbosity, plus error statistics (L_inf/L_2/PSNR, compression
+ratio, throughput) printed after a round trip like print_statistics
+(mgard-x.cpp:96-160).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def print_usage(err: str = ""):
+    if err:
+        print(f"[err] {err}", file=sys.stderr)
+    print(
+        """Options
+\t -z / --compress: compress mode
+\t\t -i / --input <path to original data>
+\t\t -o / --output <path to compressed data>
+\t\t -dt / --data-type <s/single|d/double>
+\t\t -dim / --dimension <D> <n1 (slowest)> ... <nD (fastest)>
+\t\t -em / --error-bound-mode <abs|rel>
+\t\t -e / --error-bound <float>
+\t\t -s / --smoothness <float|inf>
+\t\t -l / --lossless <huffman|huffman-lz4|huffman-zstd|cpu|zstd|lz4|blockdelta[-fixed|-delta|-outlier]|zero-rle-rans|symbol-rans>
+\t\t (optional) -dd / --domain-decomposition <max-dim|block|variable>
+\t\t (optional) -dd-size / --domain-decomposition-size <int>
+\t\t (optional) -coords / --coordinates <path to f64 coords file (concatenated per dim)>
+\t\t (optional) -v / --verbose <0|1|2|3>
+\t -x / --decompress: decompress mode
+\t\t -i / --input <path to compressed data>
+\t\t -o / --output <path to decompressed data>
+\t\t (optional) -g / --original <path to original data for error statistics>
+\t\t (optional) -v / --verbose <0|1|2|3>"""
+    )
+    sys.exit(0 if not err else 1)
+
+
+def _get(argv, *names, default=None, nargs=1):
+    for i, a in enumerate(argv):
+        if a in names:
+            if nargs == 0:
+                return True
+            vals = argv[i + 1 : i + 1 + nargs]
+            if len(vals) != nargs:
+                print_usage(f"missing value for {a}")
+            return vals[0] if nargs == 1 else vals
+    return default
+
+
+_LOSSLESS = {
+    "huffman": "Huffman",
+    "huffman-lz4": "Huffman_LZ4",
+    "huffman-zstd": "Huffman_Zstd",
+    "cpu": "CPU_Lossless",
+    "zstd": "CPU_Lossless",
+    "lz4": "LZ4",
+    "blockdelta": "BlockDelta",
+    "blockdelta-fixed": "BlockDelta",
+    "blockdelta-delta": "BlockDelta",
+    "blockdelta-outlier": "BlockDelta",
+    "zero-rle-rans": "ZeroRLE_Rans",
+    "symbol-rans": "SymbolRans",
+}
+
+
+def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size):
+    from mgard_tpu.dtypes import error_bound_type
+
+    n = v.size
+    err_inf = float(np.max(np.abs(v.astype(np.float64) - out.astype(np.float64))))
+    rng = float(np.max(v) - np.min(v))
+    l2 = float(np.sqrt(np.mean((v.astype(np.float64) - out) ** 2)))
+    psnr = 20 * math.log10(rng / (2 * l2)) if l2 > 0 and rng > 0 else float("inf")
+    norm = float(np.max(np.abs(v)))
+    actual = err_inf / norm if mode == error_bound_type.REL else err_inf
+    ok = "Satisfied" if actual < tol else "NOT satisfied"
+    kind = "Relative" if mode == error_bound_type.REL else "Absolute"
+    print(f"[info] {kind} L_inf error: {actual:.6e} ({ok})")
+    print(f"[info] L_2 error: {l2:.6e}")
+    print(f"[info] PSNR: {psnr:.2f} dB")
+    print(f"[info] Compression ratio: {v.nbytes / comp_size:.2f}")
+    if t_comp:
+        print(f"[info] Compression throughput: {v.nbytes/t_comp/1e9:.3f} GB/s ({t_comp*1e3:.0f} ms)")
+    if t_decomp:
+        print(f"[info] Decompression throughput: {v.nbytes/t_decomp/1e9:.3f} GB/s ({t_decomp*1e3:.0f} ms)")
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or _get(argv, "-h", "--help", nargs=0):
+        print_usage()
+
+    import mgard_tpu
+    from mgard_tpu import Config, compress, decompress
+    from mgard_tpu.dtypes import (
+        block_delta_mode_type,
+        compress_status_type,
+        domain_decomposition_type,
+        error_bound_type,
+        lossless_type,
+    )
+
+    verbose = int(_get(argv, "-v", "--verbose", default="0"))
+    infile = _get(argv, "-i", "--input")
+    outfile = _get(argv, "-o", "--output")
+    if infile is None or outfile is None:
+        print_usage("need -i and -o")
+
+    if _get(argv, "-z", "--compress", nargs=0):
+        dt = _get(argv, "-dt", "--data-type", default="s")
+        dtype = np.float32 if dt in ("s", "single") else np.float64
+        dim_args = _get(argv, "-dim", "--dimension", nargs=1)
+        if dim_args is None:
+            print_usage("need -dim")
+        d = int(dim_args)
+        i = argv.index("-dim") if "-dim" in argv else argv.index("--dimension")
+        shape = tuple(int(x) for x in argv[i + 2 : i + 2 + d])
+        if len(shape) != d:
+            print_usage("dimension count mismatch")
+        em = _get(argv, "-em", "--error-bound-mode", default="abs")
+        mode = error_bound_type.ABS if em == "abs" else error_bound_type.REL
+        tol = float(_get(argv, "-e", "--error-bound"))
+        s_arg = _get(argv, "-s", "--smoothness", default="inf")
+        s = math.inf if s_arg in ("inf", "infinity") else float(s_arg)
+        lname = _get(argv, "-l", "--lossless", default="huffman")
+        if lname not in _LOSSLESS:
+            print_usage(f"unknown lossless backend {lname}")
+        cfg = Config()
+        cfg.lossless = lossless_type[_LOSSLESS[lname]]
+        if lname.endswith("-fixed"):
+            cfg.block_delta_mode = block_delta_mode_type.Fixed
+        elif lname.endswith("-outlier"):
+            cfg.block_delta_mode = block_delta_mode_type.Outlier
+        ddname = _get(argv, "-dd", "--domain-decomposition")
+        if ddname:
+            cfg.domain_decomposition = {
+                "max-dim": domain_decomposition_type.MaxDim,
+                "block": domain_decomposition_type.Block,
+                "variable": domain_decomposition_type.Variable,
+            }[ddname]
+        dds = _get(argv, "-dd-size", "--domain-decomposition-size")
+        if dds:
+            cfg.block_size = int(dds)
+        mm = _get(argv, "-m", "--max-memory")
+        if mm:
+            cfg.max_memory_footprint = int(mm)
+
+        raw = np.fromfile(infile, dtype=dtype)
+        n = int(np.prod(shape))
+        if raw.size < n:
+            print_usage(f"input has {raw.size} values, shape needs {n}")
+        v = raw[:n].reshape(shape)
+
+        coords = None
+        cpath = _get(argv, "-coords", "--coordinates")
+        if cpath:
+            flat = np.fromfile(cpath, dtype=np.float64)
+            coords, off = [], 0
+            for nn in shape:
+                coords.append(flat[off : off + nn])
+                off += nn
+
+        t0 = time.time()
+        blob, st = compress(v, tol=tol, s=s, mode=mode, config=cfg, coords=coords)
+        t_comp = time.time() - t0
+        if st != compress_status_type.Success:
+            print(f"[err] compression failed: {st.name}", file=sys.stderr)
+            sys.exit(1)
+        with open(outfile, "wb") as f:
+            f.write(blob)
+        print(f"[info] compressed {v.nbytes} -> {len(blob)} bytes "
+              f"(ratio {v.nbytes/len(blob):.2f}) in {t_comp*1e3:.0f} ms")
+        if verbose >= 2:
+            out, st2 = decompress(blob)
+            if st2 == compress_status_type.Success:
+                _stats(v, out, s, mode, tol, t_comp, None, len(blob))
+    elif _get(argv, "-x", "--decompress", nargs=0):
+        blob = open(infile, "rb").read()
+        t0 = time.time()
+        out, st = decompress(blob)
+        t_decomp = time.time() - t0
+        if st != compress_status_type.Success:
+            print(f"[err] decompression failed: {st.name}", file=sys.stderr)
+            sys.exit(1)
+        out.tofile(outfile)
+        print(f"[info] decompressed to {out.nbytes} bytes {out.shape} {out.dtype} "
+              f"in {t_decomp*1e3:.0f} ms")
+        orig = _get(argv, "-g", "--original")
+        if orig:
+            from mgard_tpu.formats.metadata import Metadata
+
+            meta, _ = Metadata.deserialize(blob)
+            v = np.fromfile(orig, dtype=out.dtype)[: out.size].reshape(out.shape)
+            _stats(v, out, meta.s, meta.ebtype, meta.tol, None, t_decomp, len(blob))
+    else:
+        print_usage("need -z or -x")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""BlockDelta lossless backend: per-block delta + zigzag + fixed-length
+bit-plane packing (cuSZp lineage).
+
+TPU-native re-design of the reference's BlockDelta backend
+(reference: include/mgard-x/Lossless/BlockDelta/*.hpp, modes at
+Utilities/Types.h:54-58). Unlike Huffman, both encode AND decode are pure
+vectorized integer ops (bit-plane transpose = shift/mask/weighted-sum over a
+32-lane tile; no sequential scan), making this the throughput-optimal
+entropy stage on a vector ISA.
+
+Per 256-symbol block: adaptive mode (delta vs fixed — delta can overflow or
+lose to fixed on non-smooth blocks; reference block_delta_mode Fixed/Delta),
+zigzag to unsigned, bit width w = 32-clz(max), store only the w live bit
+planes. Block widths+modes are a (nb,) byte array (bit 7 = mode flag),
+planes are condensed with the same marker-cumsum compaction as Huffman.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 256
+LANES = 32  # symbols per packed word
+
+
+def _zigzag64(d):
+    # d: int64 -> uint64-style non-negative int64
+    return (d << 1) ^ (d >> 63)
+
+
+def _unzigzag(z):
+    # z: int64 non-negative -> signed
+    return (z >> 1) ^ -(z & 1)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def encode_kernel(symbols, B: int):
+    """symbols: (N,) int32 (N multiple of B). Returns
+    (planes (nb*32, B//LANES) uint32 padded, widths (nb,) uint8 incl mode bit,
+    plane_counts (nb,), condensed words (nb*32*B//LANES,), total_words)."""
+    N = symbols.shape[0]
+    nb = N // B
+    v = symbols.reshape(nb, B).astype(jnp.int64)
+
+    # delta within block (first element absolute)
+    prev = jnp.concatenate([jnp.zeros((nb, 1), jnp.int64), v[:, :-1]], axis=1)
+    d = v - prev
+    z_delta = _zigzag64(d)
+    z_fixed = _zigzag64(v)
+
+    def width_of(z):
+        m = jnp.max(z, axis=1)  # (nb,)
+        # bit width of max value (int64): 64 - clz
+        return (64 - jax.lax.clz(jnp.maximum(m, 1))).astype(jnp.int32) * (m > 0)
+
+    w_delta = width_of(z_delta)
+    w_fixed = width_of(z_fixed)
+    use_fixed = (w_delta > 32) | (w_fixed < w_delta)
+    w = jnp.where(use_fixed, w_fixed, w_delta).astype(jnp.int32)
+    z = jnp.where(use_fixed[:, None], z_fixed, z_delta).astype(jnp.uint32)
+
+    # bit-plane transpose: plane j of block b packs bit j of its B symbols
+    # into B/LANES words (symbol t of a word contributes bit position t)
+    zt = z.reshape(nb, B // LANES, LANES)
+    pow2 = (jnp.uint32(1) << jnp.arange(LANES, dtype=jnp.uint32))[None, None, :]
+    planes = []
+    for j in range(32):
+        bit = (zt >> jnp.uint32(j)) & jnp.uint32(1)
+        planes.append(jnp.sum(bit * pow2, axis=2, dtype=jnp.uint32))  # (nb, B//LANES)
+    planes = jnp.stack(planes, axis=1)  # (nb, 32, B//LANES)
+
+    wpb = B // LANES  # words per plane
+    plane_words = w * wpb  # words used per block
+    starts = jnp.cumsum(plane_words) - plane_words
+    total = starts[-1] + plane_words[-1]
+    MAXW = nb * 32 * wpb
+    marker = jnp.zeros(MAXW, jnp.int32).at[starts[1:]].add(1, mode="drop")
+    block_id = jnp.cumsum(marker)
+    local = jnp.arange(MAXW, dtype=jnp.int32) - starts[block_id]
+    flat = planes.reshape(nb, 32 * wpb)
+    words = flat[jnp.clip(block_id, 0, nb - 1), jnp.clip(local, 0, 32 * wpb - 1)]
+
+    mode_w = (w + jnp.where(use_fixed, 128, 0)).astype(jnp.uint8)
+    return words, mode_w, total.astype(jnp.int64)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def decode_kernel(words, widths_modes, B: int, nb: int):
+    """Inverse of encode_kernel. words padded; widths_modes (nb,) int32."""
+    wpb = B // LANES
+    w = (widths_modes & 127).astype(jnp.int32)
+    fixed = widths_modes >= 128
+    plane_words = w * wpb
+    starts = jnp.cumsum(plane_words) - plane_words  # (nb,)
+
+    # gather each block's up-to-32 planes (beyond w -> zeros)
+    j = jnp.arange(32)[None, :, None]  # (1, 32, 1)
+    t = jnp.arange(wpb)[None, None, :]
+    idx = starts[:, None, None] + j * wpb + t  # (nb, 32, wpb)
+    valid = j < w[:, None, None]
+    nwords = words.shape[0]
+    planes = jnp.where(
+        valid, words[jnp.clip(idx, 0, nwords - 1)], jnp.uint32(0)
+    )  # (nb, 32, wpb)
+
+    # inverse bit-plane transpose: symbol t*32+lane of block b =
+    # sum_j ((plane[j, t] >> lane) & 1) << j   (looped over j to keep the
+    # working set at O(N) — a broadcasted form would materialize 32x N)
+    lanes = jnp.arange(LANES, dtype=jnp.uint32)[None, None, :]
+    z = jnp.zeros((nb, wpb, LANES), jnp.uint32)
+    for j in range(32):
+        bit = (planes[:, j, :, None] >> lanes) & jnp.uint32(1)
+        z = z | (bit << jnp.uint32(j))
+    z = z.reshape(nb, B).astype(jnp.int64)
+
+    d = _unzigzag(z)
+    v_delta = jnp.cumsum(d, axis=1)
+    v = jnp.where(fixed[:, None], d, v_delta)
+    return v.reshape(nb * B).astype(jnp.int32)
+
+
+_MAGIC = b"BDL1"
+
+
+def encode(symbols, config) -> bytes:
+    B = int(config.block_delta_block_size)
+    assert B % LANES == 0, "block_delta_block_size must be a multiple of 32"
+    n = int(symbols.shape[0])
+    if n == 0:
+        return struct.pack("<4sQII", _MAGIC, 0, B, 0) + b""
+    nb = (n + B - 1) // B
+    pad = nb * B - n
+    sym = symbols.astype(jnp.int32).ravel()
+    if pad:
+        sym = jnp.concatenate([sym, jnp.zeros((pad,), jnp.int32)])
+    words, mode_w, total = encode_kernel(sym, B)
+    total_i = int(total)
+    from .huffman import device_get_prefix
+
+    words_h = device_get_prefix(words, total_i).astype("<u4")
+    mw_h = np.asarray(mode_w).astype(np.uint8)
+    mw_z = zlib.compress(mw_h.tobytes(), 1)
+    head = struct.pack("<4sQIIQI", _MAGIC, n, B, len(mw_z), total_i, 0)
+    return head + mw_z + words_h.tobytes()
+
+
+def decode(data: bytes):
+    magic, n, B, mw_z_len, total, _r = struct.unpack_from("<4sQIIQI", data, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad BlockDelta blob")
+    p = struct.calcsize("<4sQIIQI")
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    mw = np.frombuffer(zlib.decompress(data[p : p + mw_z_len]), dtype=np.uint8)
+    p += mw_z_len
+    words = np.frombuffer(data, dtype="<u4", count=total, offset=p).copy()
+    nb = (n + B - 1) // B
+    out = decode_kernel(
+        jnp.asarray(np.concatenate([words, np.zeros(1, np.uint32)])),
+        jnp.asarray(mw.astype(np.int32)),
+        B,
+        nb,
+    )
+    return out[:n]

@@ -1,0 +1,108 @@
+"""`mdr-tpu` CLI: refactor / progressive reconstruct.
+
+Parity with the reference `mdr-x` executable
+(reference: src/mgard-x/Executables/mdr-x.cpp — refactor once, then
+reconstruct at a list of target error bounds, reporting retrieved bytes and
+actual errors per round)."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import numpy as np
+
+from .api import (
+    MDReconstruct,
+    MDRequest,
+    MDRefactor,
+    read_mdr_metadata,
+    read_mdr_planes,
+    retrieve_size,
+    write_mdr,
+)
+
+
+def print_usage(err=""):
+    if err:
+        print(f"[err] {err}", file=sys.stderr)
+    print(
+        """Options
+\t -z / --refactor: refactor mode
+\t\t -i <original data> -o <refactored output>
+\t\t -dt <s|d> -dim <D> <n1..nD> [-b <num bitplanes>]
+\t -x / --reconstruct: progressive reconstruct mode
+\t\t -i <refactored input> -o <output raw>
+\t\t -e <tol1> [tol2 ...]: target error bounds (progressive rounds)
+\t\t [-s <smoothness|inf>] [-g <original for error check>]"""
+    )
+    sys.exit(0 if not err else 1)
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or "-h" in argv or "--help" in argv:
+        print_usage()
+    from mgard_tpu.config import Config
+
+    def get(flag, default=None, n=1):
+        if flag in argv:
+            i = argv.index(flag)
+            return argv[i + 1] if n == 1 else argv[i + 1 : i + 1 + n]
+        return default
+
+    infile, outfile = get("-i"), get("-o")
+    if not infile or not outfile:
+        print_usage("need -i and -o")
+
+    if "-z" in argv or "--refactor" in argv:
+        dt = get("-dt", "s")
+        dtype = np.float32 if dt in ("s", "single") else np.float64
+        d = int(get("-dim"))
+        i = argv.index("-dim")
+        shape = tuple(int(x) for x in argv[i + 2 : i + 2 + d])
+        cfg = Config()
+        cfg.total_num_bitplanes = int(get("-b", "32"))
+        v = np.fromfile(infile, dtype=dtype)[: int(np.prod(shape))].reshape(shape)
+        meta, data = MDRefactor(v, cfg)
+        write_mdr(outfile, meta, data)
+        total = sum(sum(l.plane_sizes) for l in meta.levels)
+        print(f"[info] refactored {v.nbytes} bytes -> {total} bytes of bitplanes "
+              f"({len(meta.levels)} levels x {meta.number_bitplanes} planes)")
+    elif "-x" in argv or "--reconstruct" in argv:
+        i = argv.index("-e")
+        tols = []
+        for a in argv[i + 1 :]:
+            try:
+                tols.append(float(a))
+            except ValueError:
+                break
+        s_arg = get("-s", "inf")
+        s = math.inf if s_arg in ("inf", "infinity") else float(s_arg)
+        meta, hdr_size = read_mdr_metadata(infile)
+        orig_path = get("-g")
+        total_fetched = 0
+        out = None
+        for tol in tols:
+            counts = MDRequest(meta, tol, s)
+            prev = list(meta.prev_used) if meta.prev_used else [0] * len(counts)
+            counts = [max(c, p) for c, p in zip(counts, prev)]  # monotone refine
+            inc = retrieve_size(meta, counts)
+            total_fetched += inc
+            data = read_mdr_planes(infile, meta, counts, hdr_size)
+            rec = MDReconstruct(meta, data, counts)
+            out = rec.data
+            msg = f"[info] tol={tol:.3e} planes={counts} +{inc} bytes (total {total_fetched})"
+            if orig_path:
+                v = np.fromfile(orig_path, dtype=out.dtype)[: out.size].reshape(out.shape)
+                err = float(np.max(np.abs(v - out)))
+                msg += f" actual_Linf={err:.3e} ({'OK' if err <= tol else 'MISS'})"
+            print(msg)
+        if out is not None:
+            out.tofile(outfile)
+    else:
+        print_usage("need -z or -x")
+
+
+if __name__ == "__main__":
+    main()

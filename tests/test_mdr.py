@@ -1,0 +1,129 @@
+"""MDR progressive refactoring tests.
+
+Oracle: the estimated error bound used by MDRequest must dominate the actual
+reconstruction error, and retrieval must be monotone (more planes -> smaller
+error, more bytes)."""
+
+import math
+
+import numpy as np
+import pytest
+
+import mgard_tpu
+from mgard_tpu import mdr
+from mgard_tpu.config import Config
+from mgard_tpu.mdr.api import (
+    RefactoredMetadata,
+    read_mdr_metadata,
+    read_mdr_planes,
+    retrieve_size,
+    write_mdr,
+)
+from mgard_tpu.mdr import bitplane
+
+
+def smooth(shape, seed=0):
+    rng = np.random.default_rng(seed)
+    axes = [np.linspace(0, 1, n) for n in shape]
+    grids = np.meshgrid(*axes, indexing="ij")
+    v = np.zeros(shape)
+    for _ in range(3):
+        ks = rng.integers(1, 5, len(shape))
+        acc = rng.uniform(0, 2 * np.pi)
+        for k, g in zip(ks, grids):
+            acc = acc + 2 * np.pi * k * g
+        v += rng.uniform(0.3, 1.0) * np.sin(acc)
+    return v
+
+
+def _cfg(b=10):
+    cfg = Config()
+    cfg.total_num_bitplanes = b
+    return cfg
+
+
+def test_bitplane_roundtrip_full_planes():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    v = rng.standard_normal(256)
+    B = 16
+    planes, exp, err_max, err_sq, n = bitplane.encode_level(jnp.asarray(v), B)
+    rec = np.asarray(bitplane.decode_level(np.asarray(planes), exp, B, B, n))
+    # full-precision round trip error = fixed-point rounding error
+    step = 2.0 ** (exp - B + 1)
+    assert np.max(np.abs(rec - v)) <= step
+    assert float(err_max[B]) <= step
+    # error tables are monotone decreasing
+    assert np.all(np.diff(np.asarray(err_max)) <= 1e-12)
+
+
+def test_error_tables_match_actual():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(512)
+    B = 12
+    planes, exp, err_max, err_sq, n = bitplane.encode_level(jnp.asarray(v), B)
+    for b in [1, 3, 6, 12]:
+        rec = np.asarray(
+            bitplane.decode_level(np.asarray(planes)[: 1 + b], exp, B, b, n)
+        )
+        actual = np.max(np.abs(rec - v))
+        assert np.isclose(actual, float(err_max[b]), rtol=1e-12), (b, actual, err_max[b])
+
+
+@pytest.mark.parametrize("shape", [(65,), (33, 33)])
+def test_progressive_bound_holds(shape):
+    v = smooth(shape)
+    meta, data = mdr.MDRefactor(v, _cfg(12))
+    prev_bytes = 0
+    prev_err = np.inf
+    for tol in [3e-1, 3e-2, 3e-3]:
+        counts = mdr.MDRequest(meta, tol)
+        meta.prev_used = []
+        nbytes = retrieve_size(meta, counts)
+        rec = mdr.MDReconstruct(meta, data, counts)
+        err = np.max(np.abs(rec.data - v))
+        assert err <= tol, f"tol {tol}: err {err}"
+        assert nbytes >= prev_bytes
+        assert err <= prev_err + 1e-14
+        prev_bytes, prev_err = nbytes, err
+
+
+def test_metadata_serialization_roundtrip():
+    v = smooth((33,))
+    meta, data = mdr.MDRefactor(v, _cfg(8))
+    blob = meta.serialize()
+    meta2, used = RefactoredMetadata.deserialize(blob)
+    assert meta2.shape == meta.shape
+    assert meta2.number_bitplanes == meta.number_bitplanes
+    assert len(meta2.levels) == len(meta.levels)
+    assert np.allclose(meta2.levels[3].err_max, meta.levels[3].err_max)
+    assert meta2.levels[2].plane_sizes == meta.levels[2].plane_sizes
+
+
+def test_file_writer_partial_retrieval(tmp_path):
+    v = smooth((33, 17))
+    meta, data = mdr.MDRefactor(v, _cfg(10))
+    path = str(tmp_path / "test.mdr")
+    write_mdr(path, meta, data)
+    meta2, hdr = read_mdr_metadata(path)
+    counts = mdr.MDRequest(meta2, 1e-2)
+    partial = read_mdr_planes(path, meta2, counts, hdr)
+    rec = mdr.MDReconstruct(meta2, partial, counts)
+    assert np.max(np.abs(rec.data - v)) <= 1e-2
+    # partial retrieval actually skipped bytes
+    fetched = sum(len(b) for lvl in partial.planes for b in lvl)
+    total = sum(sum(l.plane_sizes) for l in meta2.levels)
+    assert fetched <= total
+
+
+def test_l2_mode_request():
+    v = smooth((65, 65))
+    meta, data = mdr.MDRefactor(v, _cfg(12))
+    tol = 1e-3
+    counts = mdr.MDRequest(meta, tol, s=0.0)
+    rec = mdr.MDReconstruct(meta, data, counts)
+    l2 = float(np.sqrt(np.mean((rec.data - v) ** 2)))
+    assert l2 <= tol
