@@ -1,0 +1,90 @@
+"""ZeroRLE + rANS lossless backend.
+
+Re-design of the reference's ZeroRLE_Rans
+(reference: include/mgard-x/Lossless/ParallelRLE/ZeroRunLengthEncoding.hpp +
+rANS stage; lossless_type at Utilities/Types.h:44-47): runs of the
+zero symbol (the Huffman-shift origin dict_size/2 — by far the most common
+quantized value) are extracted and the two residual streams (run lengths,
+literal values) are entropy-coded with the device rANS codec. Breaks
+Huffman's 1-bit/symbol floor on sparse streams.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import rans
+from .huffman import _bucket, device_get_prefix
+
+_MAGIC = b"ZRR1"
+MAX_RUN = 60000
+
+
+def encode(symbols, config) -> bytes:
+    dict_size = int(config.huff_dict_size)
+    zero = dict_size // 2
+    n = int(symbols.shape[0])
+    if n == 0:
+        return struct.pack("<4sQQII", _MAGIC, 0, 0, dict_size, 0)
+
+    sym = symbols.astype(jnp.int32).ravel()
+    mask = sym != zero
+    count = int(jnp.sum(mask))
+    cap = min(max(_bucket(max(count, 1)), 1), n)
+    cap = max(cap, count)
+
+    @jax.jit
+    def extract(sym, mask):
+        (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+        vals = sym[jnp.minimum(idx, n - 1)]
+        return idx.astype(jnp.int32), vals
+
+    idx, vals = extract(sym, mask)
+    idx_h = device_get_prefix(idx, count).astype(np.int64)
+    vals_h = device_get_prefix(vals, count).astype(np.int32)
+
+    # runs of zeros before each literal; long runs split with synthetic
+    # zero literals so run values stay < MAX_RUN + 1
+    prev = np.concatenate([[-1], idx_h[:-1]])
+    runs = (idx_h - prev - 1).astype(np.int64)
+    out_runs, out_vals = [], []
+    for r, v in zip(runs, vals_h):
+        while r > MAX_RUN:
+            out_runs.append(MAX_RUN)
+            out_vals.append(zero)
+            r -= MAX_RUN + 1
+        out_runs.append(int(r))
+        out_vals.append(int(v))
+    out_runs = np.asarray(out_runs, np.int32)
+    out_vals = np.asarray(out_vals, np.int32)
+
+    if out_runs.size:
+        runs_blob = rans.encode(jnp.asarray(out_runs), MAX_RUN + 1, config.huff_block_size)
+        vals_blob = rans.encode(jnp.asarray(out_vals), dict_size, config.huff_block_size)
+    else:
+        runs_blob = b""
+        vals_blob = b""
+    head = struct.pack("<4sQQII", _MAGIC, n, out_runs.size, dict_size, len(runs_blob))
+    return head + runs_blob + vals_blob
+
+
+def decode(data: bytes):
+    magic, n, nnz, dict_size, runs_len = struct.unpack_from("<4sQQII", data, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad ZeroRLE blob")
+    p = struct.calcsize("<4sQQII")
+    zero = dict_size // 2
+    if n == 0:
+        return jnp.zeros((0,), jnp.int32)
+    if nnz == 0:
+        return jnp.full((n,), zero, jnp.int32)
+    runs = np.asarray(rans.decode(bytes(data[p : p + runs_len])))
+    vals = np.asarray(rans.decode(bytes(data[p + runs_len :])))
+    positions = np.cumsum(runs.astype(np.int64) + 1) - 1
+    out = np.full(n, zero, np.int32)
+    out[positions] = vals
+    return jnp.asarray(out)

@@ -82,3 +82,38 @@ def test_truncated_payload_raises():
     blob = lossless_compress(jnp.asarray(sym), cfg)
     with pytest.raises(Exception):
         lossless_decompress(blob[: len(blob) // 2])
+
+
+@pytest.mark.parametrize(
+    "lt",
+    [
+        lossless_type.BlockDelta,
+        lossless_type.SymbolRans,
+        lossless_type.ZeroRLE_Rans,
+    ],
+)
+@pytest.mark.parametrize("dist", ["laplace", "constant", "sparse"])
+def test_device_backends_roundtrip(lt, dist):
+    cfg = Config()
+    cfg.lossless = lt
+    sym = DISTS[dist](4000)
+    if lt == lossless_type.BlockDelta:
+        sym = sym - 4096  # signed path
+    blob = lossless_compress(jnp.asarray(sym), cfg)
+    out, used = lossless_decompress(blob)
+    assert used == len(blob)
+    assert np.array_equal(np.asarray(out), sym)
+
+
+def test_rans_beats_huffman_floor_on_sparse():
+    """Sub-1-bit coding on highly sparse data (the reference's stated reason
+    for the ZeroRLE_Rans backend)."""
+    rng = np.random.default_rng(3)
+    sym = np.where(rng.random(60000) < 0.99, 4096, 4097).astype(np.int32)
+    cfg = Config()
+    cfg.lossless = lossless_type.ZeroRLE_Rans
+    rle = lossless_compress(jnp.asarray(sym), cfg)
+    cfg.lossless = lossless_type.Huffman
+    huf = lossless_compress(jnp.asarray(sym), cfg)
+    assert len(rle) < len(huf) / 2
+    assert 8 * len(rle) / sym.size < 0.5
