@@ -45,7 +45,12 @@ from .hierarchy import Hierarchy, get_hierarchy
 from .lossless import lossless_compress, lossless_decompress
 from .lossless.huffman import device_get_prefix
 from .ops import quantize as Q
-from .ops.refactor import decompose, recompose
+from .ops.refactor import (
+    decompose,
+    decompose_single,
+    recompose,
+    recompose_single,
+)
 
 
 def infer_orthogonal_projection(s: float) -> bool:
@@ -86,10 +91,15 @@ def calculate_norm(v, s: float, normalize: bool) -> float:
 
 @partial(
     jax.jit,
-    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "outlier_cap", "s_inf"),
+    static_argnames=(
+        "hier", "orthogonal", "prep_huffman", "dict_size", "outlier_cap", "s_inf", "single_dim",
+    ),
 )
-def _compress_core(v, quantizers, hier, orthogonal, prep_huffman, dict_size, outlier_cap, s_inf):
-    dec = decompose(v, hier, orthogonal)
+def _compress_core(
+    v, quantizers, hier, orthogonal, prep_huffman, dict_size, outlier_cap, s_inf,
+    single_dim=False,
+):
+    dec = (decompose_single if single_dim else decompose)(v, hier, orthogonal)
     return Q.quantize_with_scales(
         dec, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_cap
     )
@@ -97,15 +107,16 @@ def _compress_core(v, quantizers, hier, orthogonal, prep_huffman, dict_size, out
 
 @partial(
     jax.jit,
-    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "s_inf"),
+    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "s_inf", "single_dim"),
 )
 def _decompress_core(
-    qflat, quantizers, outlier_idx, outlier_val, hier, orthogonal, prep_huffman, dict_size, s_inf
+    qflat, quantizers, outlier_idx, outlier_val, hier, orthogonal, prep_huffman, dict_size, s_inf,
+    single_dim=False,
 ):
     dec = Q.dequantize_with_scales(
         qflat, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_idx, outlier_val
     )
-    return recompose(dec, hier, orthogonal)
+    return (recompose_single if single_dim else recompose)(dec, hier, orthogonal)
 
 
 # ----------------------------------------------------------------------
@@ -156,15 +167,16 @@ def _compress_subdomain(
     )
     n = hier.total_num_elems
     cap = min(max(4096, int(n * config.outlier_capacity_ratio)), n)
+    single_dim = config.decomposition == decomposition_type.SingleDim
     qres = _compress_core(
         v, jnp.asarray(quantizers), hier, orthogonal, prep,
-        int(config.huff_dict_size), cap, s_inf,
+        int(config.huff_dict_size), cap, s_inf, single_dim,
     )
     count = int(qres.outlier_count)
     if count > cap:
         qres = _compress_core(
             v, jnp.asarray(quantizers), hier, orthogonal, prep,
-            int(config.huff_dict_size), n, s_inf,
+            int(config.huff_dict_size), n, s_inf, single_dim,
         )
         count = int(qres.outlier_count)
     section = _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
@@ -379,6 +391,7 @@ def decompress(
                 prep,
                 int(meta.huff_dict_size),
                 s_inf,
+                meta.decomposition == decomposition_type.SingleDim,
             )
             out[sls] = np.asarray(rec)
             off = sec_end

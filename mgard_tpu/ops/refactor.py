@@ -147,3 +147,74 @@ def recompose(v, hier: Hierarchy, orthogonal: bool = True):
         else:
             v = _be.update_box(v, rec, D)
     return v
+
+
+# ----------------------------------------------------------------------
+# SingleDim decomposition (reference: DataRefactoring/SingleDimension/
+# DataRefactoring.hpp:23-120 — one dimension coarsened at a time per level;
+# lower memory, different error constant in the quantizer)
+# ----------------------------------------------------------------------
+def _correction_axis(resid, d, al):
+    return tridiag_solve_axis(mass_restrict_axis(resid, d, al), d, al)
+
+
+def decompose_level_single(v, hier: Hierarchy, l: int, orthogonal: bool = True):
+    """One level, coarsening each axis in sequence with per-axis 1D
+    coefficients and corrections."""
+    axes = hier.axis[l - 1]
+    D = hier.D
+    for d, al in enumerate(axes):
+        coarse, odd = split_axis(v, d, al.n_fine)
+        n_coeff = al.n_fine - al.n_coarse
+        left = _be.sl(coarse, d, 0, n_coeff)
+        right = _be.sl(coarse, d, 1, n_coeff + 1)
+        t = _be.asarray_like(al.lerp_t, v, _sd_bshape(v.ndim, d, n_coeff))
+        coeff = odd - ((left - left * t) + t * right)
+        if orthogonal:
+            resid = merge_axis(_be.zeros(coarse.shape, v.dtype, v), coeff, d, al.n_fine)
+            coarse = coarse + _correction_axis(resid, d, al)
+        v = _be.concat([coarse, coeff], d)
+    return v
+
+
+def recompose_level_single(reo, hier: Hierarchy, l: int, orthogonal: bool = True):
+    axes = hier.axis[l - 1]
+    for d in reversed(range(hier.D)):
+        al = axes[d]
+        nc = al.n_coarse
+        coarse = _be.sl(reo, d, 0, nc)
+        coeff = _be.sl(reo, d, nc, al.n_fine)
+        if orthogonal:
+            resid = merge_axis(_be.zeros(coarse.shape, reo.dtype, reo), coeff, d, al.n_fine)
+            coarse = coarse - _correction_axis(resid, d, al)
+        n_coeff = al.n_fine - nc
+        left = _be.sl(coarse, d, 0, n_coeff)
+        right = _be.sl(coarse, d, 1, n_coeff + 1)
+        t = _be.asarray_like(al.lerp_t, reo, _sd_bshape(reo.ndim, d, n_coeff))
+        odd = coeff + ((left - left * t) + t * right)
+        reo = merge_axis(coarse, odd, d, al.n_fine)
+    return reo
+
+
+def _sd_bshape(ndim, axis, n):
+    s = [1] * ndim
+    s[axis] = n
+    return tuple(s)
+
+
+def decompose_single(v, hier: Hierarchy, orthogonal: bool = True):
+    D = hier.D
+    for l in range(hier.l_target, 0, -1):
+        fine = v if l == hier.l_target else _box(v, hier.level_shape[l])
+        reo = decompose_level_single(fine, hier, l, orthogonal)
+        v = reo if l == hier.l_target else _be.update_box(v, reo, D)
+    return v
+
+
+def recompose_single(v, hier: Hierarchy, orthogonal: bool = True):
+    D = hier.D
+    for l in range(1, hier.l_target + 1):
+        reo = v if l == hier.l_target else _box(v, hier.level_shape[l])
+        rec = recompose_level_single(reo, hier, l, orthogonal)
+        v = rec if l == hier.l_target else _be.update_box(v, rec, D)
+    return v
