@@ -78,6 +78,11 @@ class Metadata:
 
     ptype: processor_type = processor_type.X_TPU
 
+    # region-of-interest adaptive bounds (ops/roi.py); the ROI mask itself
+    # travels in the payload
+    roi_enabled: bool = False
+    roi_factor: float = 1.0
+
     def serialize(self) -> bytes:
         body = bytearray()
         body += struct.pack("<3B3B", *SOFTWARE_VERSION, *FILE_VERSION)
@@ -116,6 +121,7 @@ class Metadata:
             int(self.block_delta_block_size),
         )
         body += struct.pack("<B", int(self.ptype))
+        body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
 
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
         header = MAGIC + struct.pack("<II", len(body), crc)
@@ -199,4 +205,8 @@ class Metadata:
         (pt,) = struct.unpack_from("<B", body, p)
         p += 1
         m.ptype = processor_type(pt)
+        roi_en, roi_f = struct.unpack_from("<Bd", body, p)
+        p += 9
+        m.roi_enabled = bool(roi_en)
+        m.roi_factor = roi_f
         return m, len(MAGIC) + 8 + size

@@ -348,6 +348,7 @@ def decompress(
 
         out = np.empty(shape, dtype)
         coords_list = meta.coords
+        roi_mults = None
         for i in range(S):
             (sec_len,) = struct.unpack_from("<Q", blob, off)
             off += 8
@@ -358,8 +359,19 @@ def decompress(
             )
             hier = get_hierarchy(dd.subdomain_shape(i), dtype, sub_coords, cfg)
 
-            out_idx, out_val, used = _deserialize_outliers(blob, off)
-            pos = off + used
+            pos = off
+            if meta.roi_enabled:
+                (mz_len,) = struct.unpack_from("<Q", blob, pos)
+                pos += 8
+                mask = np.unpackbits(
+                    np.frombuffer(zlib.decompress(blob[pos : pos + mz_len]), np.uint8)
+                )[: hier.total_num_elems].reshape(hier.shape).astype(bool)
+                pos += mz_len
+                from .ops.roi import roi_map_nested
+
+                roi_mults = _roi_mult(roi_map_nested(mask, hier), meta.roi_factor)
+            out_idx, out_val, used = _deserialize_outliers(blob, pos)
+            pos = pos + used
             # pad outlier arrays to a coarse bucket so varying counts don't
             # retrace the decompress program (fill index n is dropped)
             from .lossless.huffman import _bucket
@@ -381,18 +393,26 @@ def decompress(
             quantizers = hier.quantizers(
                 local_tol, s, 0.0, error_bound_type.ABS, meta.decomposition, orthogonal
             )
-            rec = _decompress_core(
-                qflat,
-                jnp.asarray(quantizers),
-                jnp.asarray(pad_idx),
-                jnp.asarray(pad_val),
-                hier,
-                orthogonal,
-                prep,
-                int(meta.huff_dict_size),
-                s_inf,
-                meta.decomposition == decomposition_type.SingleDim,
-            )
+            single_dim = meta.decomposition == decomposition_type.SingleDim
+            if meta.roi_enabled:
+                rec = _decompress_core_roi(
+                    qflat, jnp.asarray(quantizers), jnp.asarray(pad_idx),
+                    jnp.asarray(pad_val), roi_mults, hier, orthogonal, prep,
+                    int(meta.huff_dict_size), s_inf, single_dim,
+                )
+            else:
+                rec = _decompress_core(
+                    qflat,
+                    jnp.asarray(quantizers),
+                    jnp.asarray(pad_idx),
+                    jnp.asarray(pad_val),
+                    hier,
+                    orthogonal,
+                    prep,
+                    int(meta.huff_dict_size),
+                    s_inf,
+                    single_dim,
+                )
             out[sls] = np.asarray(rec)
             off = sec_end
         return out, compress_status_type.Success
@@ -403,3 +423,138 @@ def decompress(
 
         traceback.print_exc()
         return None, compress_status_type.Failure
+
+
+# ----------------------------------------------------------------------
+# Region-of-interest compression (reference: mgard::compress_roi,
+# include/compress.tpp + adaptive_roi.tpp; examples/roi/mgard_roi.cpp)
+# ----------------------------------------------------------------------
+@partial(
+    jax.jit,
+    static_argnames=(
+        "hier", "orthogonal", "prep_huffman", "dict_size", "outlier_cap", "s_inf", "single_dim",
+    ),
+)
+def _compress_core_roi(
+    v, quantizers, step_mult, hier, orthogonal, prep_huffman, dict_size, outlier_cap,
+    s_inf, single_dim=False,
+):
+    dec = (decompose_single if single_dim else decompose)(v, hier, orthogonal)
+    return Q.quantize_with_scales(
+        dec, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_cap,
+        step_mult=step_mult,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hier", "orthogonal", "prep_huffman", "dict_size", "s_inf", "single_dim"),
+)
+def _decompress_core_roi(
+    qflat, quantizers, outlier_idx, outlier_val, step_mult, hier, orthogonal,
+    prep_huffman, dict_size, s_inf, single_dim=False,
+):
+    dec = Q.dequantize_with_scales(
+        qflat, hier, quantizers, s_inf, prep_huffman, dict_size, outlier_idx, outlier_val,
+        step_mult=step_mult,
+    )
+    return (recompose_single if single_dim else recompose)(dec, hier, orthogonal)
+
+
+def _roi_mult(mask_nested, roi_factor: float):
+    import jax.numpy as jnp
+
+    return jnp.where(jnp.asarray(mask_nested) > 0, roi_factor, 1.0)
+
+
+def compress_roi(
+    data,
+    tol: float,
+    roi_mask,
+    roi_factor: float = 16.0,
+    s: float = math.inf,
+    mode: error_bound_type = error_bound_type.ABS,
+    config: Optional[Config] = None,
+    coords: Optional[Sequence[np.ndarray]] = None,
+) -> Tuple[bytes, compress_status_type]:
+    """Compress with a finer error bound (tol/roi_factor) inside a region
+    of interest. roi_mask: boolean array of the data's shape."""
+    config = config or Config()
+    try:
+        from .ops.roi import roi_map_nested
+
+        arr = np.asarray(data)
+        if arr.ndim < 1 or arr.ndim > MAX_DIM:
+            return b"", compress_status_type.NotSupportHigherNumberOfDimensionsFailure
+        try:
+            dt = dtype_enum(arr.dtype)
+        except TypeError:
+            return b"", compress_status_type.NotSupportDataTypeFailure
+        mask = np.asarray(roi_mask).astype(bool)
+        if mask.shape != arr.shape:
+            raise ValueError("roi_mask shape must match data shape")
+
+        shape = tuple(int(x) for x in arr.shape)
+        s_inf = math.isinf(s)
+        orthogonal = infer_orthogonal_projection(s)
+        prep = _prep_huffman(config)
+        single_dim = config.decomposition == decomposition_type.SingleDim
+        coords_list = [np.asarray(c, np.float64) for c in coords] if coords else None
+        hier = get_hierarchy(shape, arr.dtype, coords_list, config)
+
+        norm = 0.0
+        if mode == error_bound_type.REL:
+            norm = calculate_norm(jnp.asarray(arr), s, config.normalize_coordinates)
+        quantizers = hier.quantizers(
+            tol, s, norm, mode, config.decomposition, orthogonal
+        )
+        nested = roi_map_nested(mask, hier)
+        mult = _roi_mult(nested, roi_factor)
+        n = hier.total_num_elems
+        cap = min(max(4096, int(n * config.outlier_capacity_ratio)), n)
+        qres = _compress_core_roi(
+            jnp.asarray(arr), jnp.asarray(quantizers), mult, hier, orthogonal, prep,
+            int(config.huff_dict_size), cap, s_inf, single_dim,
+        )
+        count = int(qres.outlier_count)
+        if count > cap:
+            qres = _compress_core_roi(
+                jnp.asarray(arr), jnp.asarray(quantizers), mult, hier, orthogonal, prep,
+                int(config.huff_dict_size), n, s_inf, single_dim,
+            )
+            count = int(qres.outlier_count)
+
+        mask_z = zlib.compress(np.packbits(mask).tobytes(), 3)
+        payload = struct.pack("<Q", len(mask_z)) + mask_z
+        payload += _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
+        payload += lossless_compress(qres.quantized.ravel(), config)
+        payload = struct.pack("<Q", len(payload)) + payload
+
+        meta = Metadata(
+            dtype=dt,
+            shape=shape,
+            dstype=(
+                data_structure_type.Cartesian_Grid_Uniform
+                if coords is None
+                else data_structure_type.Cartesian_Grid_Non_Uniform
+            ),
+            coords=coords_list,
+            decomposition=config.decomposition,
+            l_target=hier.l_target,
+            ebtype=mode,
+            norm=norm,
+            tol=float(tol),
+            ntype=norm_type.L_Inf if s_inf else norm_type.L_2,
+            s=float(s),
+            ltype=config.lossless,
+            huff_dict_size=config.huff_dict_size,
+            huff_block_size=config.huff_block_size,
+            roi_enabled=True,
+            roi_factor=float(roi_factor),
+        )
+        return meta.serialize() + payload, compress_status_type.Success
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        return b"", compress_status_type.Failure

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.compact import staircase_last_le
+
 MAX_CODE_LEN = 16
 
 
@@ -162,7 +164,7 @@ def encode_kernel(symbols_padded, len_table, code_table, K: int):
     S1 = jnp.cumsum(c1.astype(jnp.uint32), axis=1)
 
     # word w value = sum(c0 of symbols with w0==w) + sum(c1 with w0==w-1)
-    e = _staircase_last_le(w0, K)  # (C, K): last symbol with w0 <= w
+    e = staircase_last_le(w0, K, K)  # (C, K): last symbol with w0 <= w
     S0e = jnp.take_along_axis(S0, e, axis=1)
     S1e = jnp.take_along_axis(S1, e, axis=1)
     S0p = jnp.concatenate([jnp.zeros((C, 1), jnp.uint32), S0e[:, :-1]], axis=1)

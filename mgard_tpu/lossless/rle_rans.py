@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.compact import masked_indices
 from . import rans
 from .huffman import _bucket, device_get_prefix
 
@@ -39,7 +40,7 @@ def encode(symbols, config) -> bytes:
 
     @jax.jit
     def extract(sym, mask):
-        (idx,) = jnp.nonzero(mask, size=cap, fill_value=n)
+        idx = masked_indices(mask, cap, n)
         vals = sym[jnp.minimum(idx, n - 1)]
         return idx.astype(jnp.int32), vals
 

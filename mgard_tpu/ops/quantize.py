@@ -27,6 +27,7 @@ import numpy as np
 
 from ..dtypes import OUTLIER_DTYPE, QUANTIZED_DTYPE
 from ..hierarchy import Hierarchy
+from .compact import masked_indices
 
 
 class QuantizedResult(NamedTuple):
@@ -72,10 +73,16 @@ def quantize_with_scales(
     prep_huffman: bool,
     dict_size: int,
     outlier_cap: int,
+    step_mult=None,
 ) -> QuantizedResult:
-    """Quantize a decomposed (nested-box) array (jit-friendly)."""
+    """Quantize a decomposed (nested-box) array (jit-friendly).
+
+    step_mult: optional per-node reciprocal-step multiplier (>1 = finer
+    quantization), used by ROI compression (ops/roi.py)."""
     levels = node_levels(hier)
     scale = _scales(hier, quantizers, s_inf, True, dec.dtype)[levels]
+    if step_mult is not None:
+        scale = scale * step_mult.astype(dec.dtype)
     t = dec * scale
     # round half away from zero, exactly as the reference:
     # copysign(0.5 + |t|, t) truncated (LinearQuantization.hpp:99-104)
@@ -93,7 +100,9 @@ def quantize_with_scales(
     mask = ~in_range.ravel()
     count = mask.sum(dtype=jnp.int32)
     n = hier.total_num_elems
-    (idx,) = jnp.nonzero(mask, size=outlier_cap, fill_value=n)
+    # single-pass capture (jnp.nonzero's bisection lowering costs seconds at
+    # 512^3 on TPU; see ops/compact.py)
+    idx = masked_indices(mask, outlier_cap, n)
     val = jnp.where(
         idx < n,
         q.ravel().astype(OUTLIER_DTYPE)[jnp.minimum(idx, n - 1)],
@@ -116,6 +125,7 @@ def dequantize_with_scales(
     dict_size: int,
     outlier_idx=None,
     outlier_val=None,
+    step_mult=None,
 ):
     """Inverse of quantize: restore outliers, unshift, scale back."""
     shift = dict_size // 2 if prep_huffman else 0
@@ -129,6 +139,8 @@ def dequantize_with_scales(
         )
     levels = node_levels(hier)
     scale = _scales(hier, quantizers, s_inf, False, work_dtype)[levels]
+    if step_mult is not None:
+        scale = scale / step_mult.astype(work_dtype)
     return qflat.reshape(hier.shape) * scale
 
 

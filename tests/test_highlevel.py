@@ -127,3 +127,22 @@ def test_outlier_heavy_data_still_bounded():
     assert st == compress_status_type.Success
     out, _ = decompress(blob)
     assert np.max(np.abs(out - v)) <= tol
+
+
+def test_roi_compression():
+    """ROI region gets the finer bound; background keeps the global bound;
+    blob is smaller than uniformly-fine compression."""
+    from mgard_tpu.highlevel import compress_roi
+
+    v = smooth_field((65, 65))
+    mask = np.zeros(v.shape, bool)
+    mask[20:40, 20:40] = True
+    tol, factor = 1e-2, 100.0
+    blob, st = compress_roi(v, tol, mask, roi_factor=factor)
+    assert st == compress_status_type.Success
+    out, st2 = decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert np.max(np.abs((out - v)[mask])) <= tol / factor
+    assert np.max(np.abs(out - v)) <= tol
+    fine, _ = compress(v, tol=tol / factor)
+    assert len(blob) < len(fine)
