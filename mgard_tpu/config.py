@@ -32,6 +32,9 @@ class Config:
 
     # --- quantization / entropy knobs ---------------------------------
     estimate_outlier_ratio: float = 1.0
+    # Monotone-canonical device Huffman (arithmetic zigzag-rank codes; see
+    # lossless/huffman_mono.py) vs classic table-driven codec.
+    huffman_mono: bool = True
     huff_dict_size: int = 8192
     huff_block_size: int = 1024
     block_delta_block_size: int = 256

@@ -26,7 +26,16 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
     lt = config.lossless
     n = int(quantized_flat.shape[0])
     if lt in (lossless_type.Huffman, lossless_type.Huffman_Zstd, lossless_type.Huffman_LZ4):
-        inner = huffman.encode(quantized_flat, config.huff_dict_size, config.huff_block_size)
+        if getattr(config, "huffman_mono", True):
+            from . import huffman_mono
+
+            inner = huffman_mono.encode(
+                quantized_flat, config.huff_dict_size, config.huff_block_size
+            )
+        else:
+            inner = huffman.encode(
+                quantized_flat, config.huff_dict_size, config.huff_block_size
+            )
         if lt == lossless_type.Huffman_Zstd:
             inner = host.zstd_compress(inner, config.zstd_compress_level)
         elif lt == lossless_type.Huffman_LZ4:
@@ -69,7 +78,12 @@ def lossless_decompress(data: bytes, offset: int = 0):
             inner = host.zstd_decompress(bytes(inner))
         elif lt == lossless_type.Huffman_LZ4:
             inner = host.zlib_decompress(bytes(inner))
-        syms, _ = huffman.decode(bytes(inner))
+        if bytes(inner[:4]) == b"HUF2":
+            from . import huffman_mono
+
+            syms, _ = huffman_mono.decode(bytes(inner))
+        else:
+            syms, _ = huffman.decode(bytes(inner))
         return syms, consumed
     if lt in (lossless_type.CPU_Lossless, lossless_type.LZ4):
         (n,) = struct.unpack_from("<Q", inner, 0)
