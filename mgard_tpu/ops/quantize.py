@@ -85,8 +85,13 @@ def quantize_with_scales(
         scale = scale * step_mult.astype(dec.dtype)
     t = dec * scale
     # round half away from zero, exactly as the reference:
-    # copysign(0.5 + |t|, t) truncated (LinearQuantization.hpp:99-104)
-    q = jnp.trunc(jnp.copysign(jnp.asarray(0.5, dec.dtype) + jnp.abs(t), t))
+    # copysign(0.5 + |t|, t) truncated (LinearQuantization.hpp:99-104).
+    # Implemented via compare/select rather than jnp.copysign: copysign on
+    # f64 lowers to a bitcast-convert s64 that XLA's x64-emulation pass
+    # cannot rewrite on TPU ("While rewriting computation to not contain X64
+    # element types ... not implemented").
+    half = jnp.asarray(0.5, dec.dtype)
+    q = jnp.trunc(jnp.where(t < 0, t - half, t + half))
 
     shift = dict_size // 2 if prep_huffman else 0
     if prep_huffman:

@@ -94,6 +94,13 @@ def compress_shards_device(
             abs_tol = tol_s * norm.astype(jnp.float64)
         else:
             abs_tol = tol_s
+        if not s_inf:
+            # Per-subdomain L2 errors add in quadrature across the n_sub
+            # independent subdomains, so each local bound must shrink by
+            # sqrt(n_sub) for the global bound to hold (reference:
+            # ErrorToleranceCalculator.hpp:127-147; matches
+            # decomposer.calc_local_abs_tol).
+            abs_tol = abs_tol / math.sqrt(n_sub)
         quant = quantizers_ingraph(
             hier.l_target, hier.D, hier.total_num_elems, abs_tol, s_s, s_inf,
             orthogonal=orthogonal,
