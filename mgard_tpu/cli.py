@@ -31,7 +31,7 @@ def print_usage(err: str = ""):
 \t\t -em / --error-bound-mode <abs|rel>
 \t\t -e / --error-bound <float>
 \t\t -s / --smoothness <float|inf>
-\t\t -l / --lossless <huffman|huffman-lz4|huffman-zstd|cpu|zstd|lz4|blockdelta[-fixed|-delta|-outlier]|zero-rle-rans|symbol-rans>
+\t\t -l / --lossless <bfx|bfx-zstd|huffman|huffman-lz4|huffman-zstd|cpu|zstd|lz4|blockdelta[-fixed|-delta|-outlier]|zero-rle-rans|symbol-rans>
 \t\t (optional) -dd / --domain-decomposition <max-dim|block|variable>
 \t\t (optional) -dd-size / --domain-decomposition-size <int>
 \t\t (optional) -coords / --coordinates <path to f64 coords file (concatenated per dim)>
@@ -58,6 +58,8 @@ def _get(argv, *names, default=None, nargs=1):
 
 
 _LOSSLESS = {
+    "bfx": "BFX",
+    "bfx-zstd": "BFX_Zstd",
     "huffman": "Huffman",
     "huffman-lz4": "Huffman_LZ4",
     "huffman-zstd": "Huffman_Zstd",
@@ -74,14 +76,20 @@ _LOSSLESS = {
 
 
 def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size):
+    """Round-trip statistics via utils.error_calculator (the reference's
+    ErrorCalculator.h:22-120 print block in mgard-x.cpp:96-160)."""
     from mgard_tpu.dtypes import error_bound_type
+    from mgard_tpu.utils.error_calculator import (
+        L_2_error,
+        L_inf_error,
+        L_inf_norm,
+        PSNR,
+    )
 
-    n = v.size
-    err_inf = float(np.max(np.abs(v.astype(np.float64) - out.astype(np.float64))))
-    rng = float(np.max(v) - np.min(v))
-    l2 = float(np.sqrt(np.mean((v.astype(np.float64) - out) ** 2)))
-    psnr = 20 * math.log10(rng / (2 * l2)) if l2 > 0 and rng > 0 else float("inf")
-    norm = float(np.max(np.abs(v)))
+    err_inf = L_inf_error(v, out, error_bound_type.ABS)
+    l2 = L_2_error(v, out)
+    psnr = PSNR(v, out)
+    norm = L_inf_norm(v)
     actual = err_inf / norm if mode == error_bound_type.REL else err_inf
     ok = "Satisfied" if actual < tol else "NOT satisfied"
     kind = "Relative" if mode == error_bound_type.REL else "Absolute"
@@ -132,10 +140,13 @@ def main(argv=None):
         tol = float(_get(argv, "-e", "--error-bound"))
         s_arg = _get(argv, "-s", "--smoothness", default="inf")
         s = math.inf if s_arg in ("inf", "infinity") else float(s_arg)
-        lname = _get(argv, "-l", "--lossless", default="huffman")
+        lname = _get(argv, "-l", "--lossless", default="bfx")
         if lname not in _LOSSLESS:
             print_usage(f"unknown lossless backend {lname}")
         cfg = Config()
+        # -v 2/3 enables the reference's per-stage TIME logging
+        # (Timer.hpp:28-45 semantics, wired through utils.log)
+        cfg.log_level = (1, 3, 7, 15)[min(verbose, 3)]
         cfg.lossless = lossless_type[_LOSSLESS[lname]]
         if lname.endswith("-fixed"):
             cfg.block_delta_mode = block_delta_mode_type.Fixed
@@ -186,8 +197,10 @@ def main(argv=None):
                 _stats(v, out, s, mode, tol, t_comp, None, len(blob))
     elif _get(argv, "-x", "--decompress", nargs=0):
         blob = open(infile, "rb").read()
+        dcfg = Config()
+        dcfg.log_level = (1, 3, 7, 15)[min(verbose, 3)]
         t0 = time.time()
-        out, st = decompress(blob)
+        out, st = decompress(blob, config=dcfg)
         t_decomp = time.time() - t0
         if st != compress_status_type.Success:
             print(f"[err] decompression failed: {st.name}", file=sys.stderr)

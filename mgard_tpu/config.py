@@ -28,7 +28,12 @@ class Config:
     # --- compression pipeline selection -------------------------------
     compressor: compressor_type = compressor_type.MGARD
     decomposition: decomposition_type = decomposition_type.MultiDim
-    lossless: lossless_type = lossless_type.Huffman
+    # TPU-native default: the dense BFX bitplane codec (lossless/bfx.py).
+    # The reference defaults to (GPU-)Huffman (Config.cpp:33-68); on TPU
+    # data-dependent gathers make table-driven Huffman the slow path, so the
+    # gather-free codec is the default. Huffman remains selectable and the
+    # format is self-describing either way.
+    lossless: lossless_type = lossless_type.BFX
 
     # --- quantization / entropy knobs ---------------------------------
     estimate_outlier_ratio: float = 1.0

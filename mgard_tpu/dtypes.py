@@ -57,6 +57,10 @@ class lossless_type(enum.IntEnum):
     LZ4 = 5
     ZeroRLE_Rans = 6
     SymbolRans = 7
+    # TPU-native extension: block fixed-width bitplane codec (lossless/bfx.py)
+    # with in-stream wide-value support (no outlier side-channel needed).
+    BFX = 8
+    BFX_Zstd = 9
 
 
 class block_delta_mode_type(enum.IntEnum):

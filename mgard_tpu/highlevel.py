@@ -66,7 +66,24 @@ def _prep_huffman(config: Config) -> bool:
         lossless_type.CPU_Lossless,
         lossless_type.BlockDelta,
         lossless_type.LZ4,
+        lossless_type.BFX,
+        lossless_type.BFX_Zstd,
     )
+
+
+def _outlier_cap(n: int, config: Config) -> int:
+    """Initial outlier-capture capacity: the configured capacity ratio
+    scaled by the user's outlier-ratio estimate (reference:
+    Config.estimate_outlier_ratio, used for buffer sizing)."""
+    frac = config.outlier_capacity_ratio * max(config.estimate_outlier_ratio, 1e-3)
+    return min(max(4096, int(n * frac)), n)
+
+
+def _raw_symbol_backend(lt: lossless_type) -> bool:
+    """Backends that take raw signed int32 symbols of any magnitude
+    (in-stream wide-value support), so quantization needs neither the
+    dictionary shift nor the outlier side-list."""
+    return lt in (lossless_type.BFX, lossless_type.BFX_Zstd)
 
 
 # ----------------------------------------------------------------------
@@ -119,6 +136,28 @@ def _decompress_core(
     return (recompose_single if single_dim else recompose)(dec, hier, orthogonal)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("hier", "orthogonal", "s_inf", "single_dim"),
+)
+def _compress_core_sym(v, quantizers, hier, orthogonal, s_inf, single_dim=False,
+                       step_mult=None):
+    """Raw-symbol compress core (no outlier capture, no dictionary shift):
+    the dense path for BFX-class backends."""
+    dec = (decompose_single if single_dim else decompose)(v, hier, orthogonal)
+    return Q.quantize_symbols(dec, hier, quantizers, s_inf, step_mult=step_mult)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("hier", "orthogonal", "s_inf", "single_dim"),
+)
+def _decompress_core_sym(sym, quantizers, hier, orthogonal, s_inf, single_dim=False,
+                         step_mult=None):
+    dec = Q.dequantize_symbols(sym, hier, quantizers, s_inf, step_mult=step_mult)
+    return (recompose_single if single_dim else recompose)(dec, hier, orthogonal)
+
+
 # ----------------------------------------------------------------------
 # Payload helpers
 # ----------------------------------------------------------------------
@@ -166,17 +205,32 @@ def _compress_subdomain(
         abs_tol, s, 0.0, error_bound_type.ABS, config.decomposition, orthogonal
     )
     n = hier.total_num_elems
-    cap = min(max(4096, int(n * config.outlier_capacity_ratio)), n)
+    cap = _outlier_cap(n, config)
     single_dim = config.decomposition == decomposition_type.SingleDim
+    if _raw_symbol_backend(config.lossless):
+        sym = _compress_core_sym(
+            v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
+        )
+        section = _serialize_outliers(
+            0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        )
+        section += lossless_compress(sym.ravel(), config)
+        return section
     qres = _compress_core(
         v, jnp.asarray(quantizers), hier, orthogonal, prep,
         int(config.huff_dict_size), cap, s_inf, single_dim,
     )
     count = int(qres.outlier_count)
     if count > cap:
+        # Bucketed capacity ladder: re-trace once with the count rounded up
+        # to the next power-of-two bucket (never a full-n capture buffer;
+        # the true count is already known from the first pass). Replaces the
+        # reference's dynamic atomic-append outlier list
+        # (OutlierSeparatorKernel) without unbounded recompiles.
+        cap2 = min(1 << (count - 1).bit_length(), n)
         qres = _compress_core(
             v, jnp.asarray(quantizers), hier, orthogonal, prep,
-            int(config.huff_dict_size), n, s_inf, single_dim,
+            int(config.huff_dict_size), cap2, s_inf, single_dim,
         )
         count = int(qres.outlier_count)
     section = _serialize_outliers(count, qres.outlier_idx, qres.outlier_val)
@@ -200,6 +254,11 @@ def compress(
     (reference: CompressionHighLevel.hpp:47-283).
     """
     config = config or Config()
+    from .utils.log import Timer, log
+
+    log.level = max(log.level, int(config.log_level)) if config.log_level else log.level
+    t_total = Timer()
+    t_total.start()
     try:
         arr = data if isinstance(data, jax.Array) else np.asarray(data)
         if arr.ndim < 1 or arr.ndim > MAX_DIM:
@@ -219,6 +278,8 @@ def compress(
 
         # Global norm (REL): max / sum-of-squares over subdomains
         # (reference: calc_norm_decomposed_w_prefetch).
+        t_norm = Timer()
+        t_norm.start()
         norm = 0.0
         if mode == error_bound_type.REL:
             if S == 1:
@@ -240,8 +301,13 @@ def compress(
                 if norm == 0.0:
                     norm = float(np.finfo(arr.dtype).eps)
 
+        t_norm.end()
+        t_norm.print("calc-norm", int(np.prod(shape)) * arr.dtype.itemsize
+                     if mode == error_bound_type.REL else None)
         local_tol = calc_local_abs_tol(mode, norm, tol, s, S)
 
+        t_comp = Timer()
+        t_comp.start()
         sections = []
         coords_list = (
             [np.asarray(c, np.float64) for c in coords] if coords is not None else None
@@ -256,6 +322,9 @@ def compress(
             sections.append(
                 _compress_subdomain(v, hier, config, local_tol, s, orthogonal, prep)
             )
+        t_comp.end()
+        t_comp.print("decompose+quantize+lossless",
+                     int(np.prod(shape)) * arr.dtype.itemsize)
 
         payload = b"".join(
             struct.pack("<Q", len(sec)) + sec for sec in sections
@@ -305,7 +374,14 @@ def compress(
             huff_block_size=config.huff_block_size,
             block_delta_block_size=config.block_delta_block_size,
         )
-        return meta.serialize() + payload, compress_status_type.Success
+        blob = meta.serialize() + payload
+        t_total.end()
+        t_total.print("compress total", int(np.prod(shape)) * arr.dtype.itemsize)
+        log.info(
+            f"compressed {int(np.prod(shape)) * arr.dtype.itemsize} -> "
+            f"{len(blob)} bytes over {S} subdomain(s)"
+        )
+        return blob, compress_status_type.Success
     except FormatError:
         return b"", compress_status_type.Failure
     except Exception:  # mirror general_compress's catch-all translation
@@ -327,8 +403,14 @@ def decompress(
         meta, off = Metadata.deserialize(blob)
     except (FormatError, struct.error):
         return None, compress_status_type.Failure
+    from .utils.log import Timer, log
+
+    t_total = Timer()
+    t_total.start()
     try:
         cfg = config or Config()
+        if config is not None and config.log_level:
+            log.level = max(log.level, int(config.log_level))
         cfg.lossless = meta.ltype
         cfg.huff_dict_size = meta.huff_dict_size
         cfg.huff_block_size = meta.huff_block_size
@@ -394,7 +476,12 @@ def decompress(
                 local_tol, s, 0.0, error_bound_type.ABS, meta.decomposition, orthogonal
             )
             single_dim = meta.decomposition == decomposition_type.SingleDim
-            if meta.roi_enabled:
+            if _raw_symbol_backend(meta.ltype):
+                rec = _decompress_core_sym(
+                    qflat, jnp.asarray(quantizers), hier, orthogonal, s_inf,
+                    single_dim, step_mult=roi_mults if meta.roi_enabled else None,
+                )
+            elif meta.roi_enabled:
                 rec = _decompress_core_roi(
                     qflat, jnp.asarray(quantizers), jnp.asarray(pad_idx),
                     jnp.asarray(pad_val), roi_mults, hier, orthogonal, prep,
@@ -415,6 +502,8 @@ def decompress(
                 )
             out[sls] = np.asarray(rec)
             off = sec_end
+        t_total.end()
+        t_total.print("decompress total", out.nbytes)
         return out, compress_status_type.Success
     except FormatError:
         return None, compress_status_type.Failure
@@ -511,16 +600,52 @@ def compress_roi(
         nested = roi_map_nested(mask, hier)
         mult = _roi_mult(nested, roi_factor)
         n = hier.total_num_elems
-        cap = min(max(4096, int(n * config.outlier_capacity_ratio)), n)
+        cap = _outlier_cap(n, config)
+        if _raw_symbol_backend(config.lossless):
+            sym = _compress_core_sym(
+                jnp.asarray(arr), jnp.asarray(quantizers), hier, orthogonal,
+                s_inf, single_dim, step_mult=mult,
+            )
+            mask_z = zlib.compress(np.packbits(mask).tobytes(), 3)
+            payload = struct.pack("<Q", len(mask_z)) + mask_z
+            payload += _serialize_outliers(
+                0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+            )
+            payload += lossless_compress(sym.ravel(), config)
+            payload = struct.pack("<Q", len(payload)) + payload
+            meta = Metadata(
+                dtype=dt,
+                shape=shape,
+                dstype=(
+                    data_structure_type.Cartesian_Grid_Uniform
+                    if coords is None
+                    else data_structure_type.Cartesian_Grid_Non_Uniform
+                ),
+                coords=coords_list,
+                decomposition=config.decomposition,
+                l_target=hier.l_target,
+                ebtype=mode,
+                norm=norm,
+                tol=float(tol),
+                ntype=norm_type.L_Inf if s_inf else norm_type.L_2,
+                s=float(s),
+                ltype=config.lossless,
+                huff_dict_size=config.huff_dict_size,
+                huff_block_size=config.huff_block_size,
+                roi_enabled=True,
+                roi_factor=float(roi_factor),
+            )
+            return meta.serialize() + payload, compress_status_type.Success
         qres = _compress_core_roi(
             jnp.asarray(arr), jnp.asarray(quantizers), mult, hier, orthogonal, prep,
             int(config.huff_dict_size), cap, s_inf, single_dim,
         )
         count = int(qres.outlier_count)
         if count > cap:
+            cap2 = min(1 << (count - 1).bit_length(), n)
             qres = _compress_core_roi(
                 jnp.asarray(arr), jnp.asarray(quantizers), mult, hier, orthogonal, prep,
-                int(config.huff_dict_size), n, s_inf, single_dim,
+                int(config.huff_dict_size), cap2, s_inf, single_dim,
             )
             count = int(qres.outlier_count)
 

@@ -34,7 +34,7 @@ outlier side-channel (reference: OutlierSeparatorKernel, Huffman.hpp:571)
 is unnecessary for this backend.
 
 Blob format "BFX2":
-  header: <4sQQII magic, n, total_words, sb_blocks, flags>
+  header: <4sQQII magic, n, total_words, sb_blocks, align_words>
   widths: NB bytes (one per 32-symbol block, natural block order)
   words:  total_words * u32 little-endian (per superblock: merge-schedule
           order = blocks by bit-reversed in-superblock index; each
@@ -334,8 +334,8 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnums=(1, 2))
-def encode_core(sym_padded, sb_blocks: int, use_pallas: bool):
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def encode_core(sym_padded, sb_blocks: int, use_pallas: bool, align: int = ALIGN):
     """sym_padded: (N,) int32, N a multiple of sb_blocks*32.
 
     Returns (words2d (rows,128) uint32, widths (NB,) int32, total_words
@@ -349,7 +349,7 @@ def encode_core(sym_padded, sb_blocks: int, use_pallas: bool):
     zt = zz.reshape(NB, BS).T  # (32, NB)
     w = _widths_from_zt(zt)  # (NB,)
     sb_lens = jnp.sum(w.reshape(NSB, sb_blocks), axis=1, dtype=jnp.int32)
-    sb_alens = (sb_lens + (ALIGN - 1)) // ALIGN * ALIGN
+    sb_alens = (sb_lens + (align - 1)) // align * align
     sb_offs = (jnp.cumsum(sb_alens) - sb_alens).astype(jnp.int32)
     total = (sb_offs[-1] + sb_alens[-1]).astype(jnp.int32)
     out_rows = (NSB + 1) * cap // 128  # + one superblock of slack
@@ -360,14 +360,14 @@ def encode_core(sym_padded, sb_blocks: int, use_pallas: bool):
     return flat2d, w, total
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def decode_core(flat2d, widths, sb_blocks: int, use_pallas: bool):
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def decode_core(flat2d, widths, sb_blocks: int, use_pallas: bool, align: int = ALIGN):
     """Inverse of encode_core (flat2d needs >= cap words of slack beyond the
     real total; encode_core's buffer satisfies this)."""
     NB = widths.shape[0]
     NSB = NB // sb_blocks
     sb_lens = jnp.sum(widths.reshape(NSB, sb_blocks), axis=1, dtype=jnp.int32)
-    sb_alens = (sb_lens + (ALIGN - 1)) // ALIGN * ALIGN
+    sb_alens = (sb_lens + (align - 1)) // align * align
     sb_offs = (jnp.cumsum(sb_alens) - sb_alens).astype(jnp.int32)
     if use_pallas:
         zt = _decode_pallas(flat2d, widths, sb_offs // 128, sb_blocks)
@@ -398,18 +398,20 @@ def encode(symbols, config=None) -> bytes:
     sym = jnp.asarray(symbols).astype(jnp.int32).ravel()
     if npad != n:
         sym = jnp.concatenate([sym, jnp.zeros(npad - n, jnp.int32)])
-    flat2d, w, total = encode_core(sym, sb_blocks, _use_pallas())
+    use_pallas = _use_pallas()
+    align = ALIGN if use_pallas else 1
+    flat2d, w, total = encode_core(sym, sb_blocks, use_pallas, align)
     total_i = int(total)
     from .huffman import device_get_prefix
 
     words_h = device_get_prefix(flat2d.reshape(-1), total_i).astype("<u4")
     widths_h = np.asarray(w).astype(np.uint8)
-    head = struct.pack(_HDR, _MAGIC, n, total_i, sb_blocks, 0)
+    head = struct.pack(_HDR, _MAGIC, n, total_i, sb_blocks, align)
     return head + widths_h.tobytes() + words_h.tobytes()
 
 
 def decode(data: bytes, offset: int = 0):
-    magic, n, total, sb_blocks, _flags = struct.unpack_from(_HDR, data, offset)
+    magic, n, total, sb_blocks, align = struct.unpack_from(_HDR, data, offset)
     p = offset + struct.calcsize(_HDR)
     if magic != _MAGIC:
         raise ValueError("bad BFX blob")
@@ -425,9 +427,12 @@ def decode(data: bytes, offset: int = 0):
     rows = (total + cap + 127) // 128 + 1  # slack for the padded expand
     wbuf = np.zeros(rows * 128, np.uint32)
     wbuf[:total] = words
+    # Pallas expand needs ALIGN-word offsets; blobs written with a finer
+    # alignment decode through the XLA path (small inputs only).
+    use_pallas = _use_pallas() and align == ALIGN
     sym = decode_core(
         jnp.asarray(wbuf.reshape(rows, 128)), jnp.asarray(widths),
-        sb_blocks, _use_pallas(),
+        sb_blocks, use_pallas, align,
     )
     return sym[:n], p - offset
 
@@ -440,7 +445,7 @@ def _bitrev_order(s: int):
     return [int(format(i, f"0{bits}b")[::-1], 2) if bits else 0 for i in range(s)]
 
 
-def np_encode(symbols: np.ndarray, sb_blocks: int = SB_BLOCKS_SMALL):
+def np_encode(symbols: np.ndarray, sb_blocks: int = SB_BLOCKS_SMALL, align: int = 1):
     """Slow host reference returning (widths u8, words u32) for validation.
 
     Within each superblock, block streams appear in bit-reversed index
@@ -463,7 +468,7 @@ def np_encode(symbols: np.ndarray, sb_blocks: int = SB_BLOCKS_SMALL):
                 for k in range(BS):
                     word |= np.uint32((int(Z[b, k]) >> j) & 1) << np.uint32(k)
                 sb_words.append(word)
-        pad = (-len(sb_words)) % ALIGN
+        pad = (-len(sb_words)) % align
         sb_words.extend([np.uint32(0)] * pad)
         out.extend(sb_words)
     return widths.astype(np.uint8), np.array(out, np.uint32)

@@ -58,6 +58,12 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
         from . import symbol_rans
 
         inner = symbol_rans.encode(quantized_flat, config)
+    elif lt in (lossless_type.BFX, lossless_type.BFX_Zstd):
+        from . import bfx
+
+        inner = bfx.encode(quantized_flat, config)
+        if lt == lossless_type.BFX_Zstd:
+            inner = host.zstd_compress(inner, config.zstd_compress_level)
     else:
         raise ValueError(f"unsupported lossless backend {lt}")
     return struct.pack(_HDR, int(lt), len(inner)) + inner
@@ -107,4 +113,11 @@ def lossless_decompress(data: bytes, offset: int = 0):
         from . import symbol_rans
 
         return symbol_rans.decode(bytes(inner)), consumed
+    if lt in (lossless_type.BFX, lossless_type.BFX_Zstd):
+        from . import bfx
+
+        if lt == lossless_type.BFX_Zstd:
+            inner = host.zstd_decompress(bytes(inner))
+        syms, _ = bfx.decode(bytes(inner))
+        return syms, consumed
     raise ValueError(f"unsupported lossless backend {lt}")

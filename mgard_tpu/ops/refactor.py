@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+
 from ..hierarchy import Hierarchy
 from . import _be
 from .axis import mass_restrict_axis, merge_axis, prolong_axis, split_axis, tridiag_solve_axis
@@ -145,16 +147,134 @@ def recompose_level(reo, hier: Hierarchy, l: int, orthogonal: bool = True):
     return interp + resid
 
 
+# ----------------------------------------------------------------------
+# Fast level kernels (JAX float32): roll-based interpolation passes
+# (2 static rolls + fma + select per axis instead of split/lerp/merge
+# slice chains) with direct per-axis split/concat reordering — no
+# transposes. The whole-array counterpart of the reference's fused
+# GpkReo3D kernel (GridProcessingKernel3D.hpp:1181).
+# ----------------------------------------------------------------------
+def _fast_axis_tables(hier: Hierarchy, l: int, d: int):
+    """Per-(level, axis) host tables for the fast path: lerp weights at odd
+    positions (wl, wr) and the odd-position mask."""
+    cache = getattr(hier, "_fast_tables", None)
+    if cache is None:
+        cache = {}
+        hier._fast_tables = cache
+    key = (l, d)
+    if key in cache:
+        return cache[key]
+    al = hier.axis[l - 1][d]
+    nf, nc = al.n_fine, al.n_coarse
+    ncoef = nf - nc
+    t = al.lerp_t.astype(np.float64)
+    wl = np.zeros(nf)
+    wr = np.zeros(nf)
+    mask = np.zeros(nf, bool)
+    idx = 2 * np.arange(ncoef) + 1
+    wl[idx] = 1.0 - t
+    wr[idx] = t
+    mask[idx] = True
+    dt = hier.dtype
+    out = (wl.astype(dt), wr.astype(dt), mask)
+    cache[key] = out
+    return out
+
+
+def _bshape(ndim, axis, n):
+    s = [1] * ndim
+    s[axis] = n
+    return tuple(s)
+
+
+def _interp_pass_fast(x, hier, l, d):
+    import jax.numpy as jnp
+
+    wl, wr, mask = _fast_axis_tables(hier, l, d)
+    nf = x.shape[d]
+    bs = _bshape(x.ndim, d, nf)
+    left = jnp.roll(x, 1, axis=d)
+    right = jnp.roll(x, -1, axis=d)
+    cand = jnp.asarray(wl).reshape(bs) * left + jnp.asarray(wr).reshape(bs) * right
+    return jnp.where(jnp.asarray(mask).reshape(bs), cand, x)
+
+
+def decompose_level_fast(v, hier: Hierarchy, l: int, orthogonal: bool):
+    axes = hier.axis[l - 1]
+    D = hier.D
+    interp = v
+    for d in range(D):
+        interp = _interp_pass_fast(interp, hier, l, d)
+    resid = v - interp
+
+    coarse = v
+    for d, al in enumerate(axes):
+        coarse, _ = split_axis(coarse, d, al.n_fine)
+    if orthogonal:
+        coarse = coarse + _correction(resid, axes)
+
+    reo = resid
+    for d in range(D):
+        c_part, x_part = split_axis(reo, d, axes[d].n_fine)
+        reo = _be.concat([c_part, x_part], d)
+    return _be.update_box(reo, coarse, D)
+
+
+def recompose_level_fast(reo, hier: Hierarchy, l: int, orthogonal: bool):
+    axes = hier.axis[l - 1]
+    D = hier.D
+    coarse_shape = hier.level_shape[l - 1]
+    coarse_box = _box(reo, coarse_shape)
+    resid_reo = _be.update_box(reo, _be.zeros(coarse_shape, reo.dtype, reo), D)
+
+    resid = resid_reo
+    for d in reversed(range(D)):
+        al = axes[d]
+        c_part = _be.sl(resid, d, 0, al.n_coarse)
+        x_part = _be.sl(resid, d, al.n_coarse, al.n_fine)
+        resid = merge_axis(c_part, x_part, d, al.n_fine)
+
+    coarse_vals = coarse_box
+    if orthogonal:
+        coarse_vals = coarse_vals - _correction(resid, axes)
+
+    field = coarse_vals
+    for d in range(D):
+        al = axes[d]
+        coeff_shape = list(field.shape)
+        coeff_shape[d] = al.n_fine - al.n_coarse
+        field = merge_axis(
+            field, _be.zeros(tuple(coeff_shape), field.dtype, field), d, al.n_fine
+        )
+    interp = field
+    for d in range(D):
+        interp = _interp_pass_fast(interp, hier, l, d)
+    return interp + resid
+
+
+def _use_fast(v, hier: Hierarchy) -> bool:
+    return (
+        not _be.is_np(v)
+        and hier.dtype == np.float32
+        and v.dtype == np.float32
+        and hier.D >= 1
+    )
+
+
 def decompose(v, hier: Hierarchy, orthogonal: bool = True):
     """Full multilevel decomposition, finest to coarsest, nested-box output."""
     D = hier.D
+    fast = _use_fast(v, hier)
     for l in range(hier.l_target, 0, -1):
         fine_shape = hier.level_shape[l]
         if l == hier.l_target:
             fine = v
         else:
             fine = _box(v, fine_shape)
-        reo = decompose_level(fine, hier, l, orthogonal)
+        if fast:
+            reo = decompose_level_fast(fine, hier, l, orthogonal)
+        else:
+            reo = decompose_level(fine, hier, l, orthogonal)
         if l == hier.l_target:
             v = reo
         else:
@@ -165,13 +285,17 @@ def decompose(v, hier: Hierarchy, orthogonal: bool = True):
 def recompose(v, hier: Hierarchy, orthogonal: bool = True):
     """Full multilevel recomposition, coarsest to finest."""
     D = hier.D
+    fast = _use_fast(v, hier)
     for l in range(1, hier.l_target + 1):
         fine_shape = hier.level_shape[l]
         if l == hier.l_target:
             reo = v
         else:
             reo = _box(v, fine_shape)
-        rec = recompose_level(reo, hier, l, orthogonal)
+        if fast:
+            rec = recompose_level_fast(reo, hier, l, orthogonal)
+        else:
+            rec = recompose_level(reo, hier, l, orthogonal)
         if l == hier.l_target:
             v = rec
         else:
