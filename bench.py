@@ -10,9 +10,13 @@ BFX unpack -> dequantize -> recompose). Host<->device bulk staging is
 excluded: on this rig the accelerator is behind a ~4 MB/s relay tunnel that
 would measure the tunnel, not the compressor.
 
-Timing method: the rig's scalar-readback latency is ~28 ms, so each
-measurement dispatches REPS pipeline executions back-to-back and blocks
-once at the end; the per-rep time subtracts amortized dispatch overhead.
+Timing method: each rep is fully synced (one-element readback of the
+output as the sync point — block_until_ready returns early through this
+rig's relay), and the separately-measured scalar-readback floor (~28 ms
+of pure tunnel latency, not device time) is subtracted. Dispatching reps
+back-to-back without syncing is NOT used: queued whole-pipeline
+executions hold their output buffers and the resulting HBM pressure
+stalls the device.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
@@ -109,20 +113,27 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     print(f"# n={n} err={err:.3e} bound_ok={ok} ratio={ratio:.2f}",
           file=sys.stderr)
 
-    # ---- timed (amortize the scalar-readback floor over `reps` dispatches)
+    # ---- timed (per-rep sync; subtract the pure readback-latency floor)
+    noop = jax.jit(lambda x: x[0, 0, 0] * 1.0)
+    float(noop(v))
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(noop(v))
+        floor = min(floor, time.perf_counter() - t0)
+    print(f"# readback floor: {floor*1e3:.1f} ms", file=sys.stderr)
+
     def timed(fn, *args):
         out = fn(*args)
         jax.block_until_ready(out)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(*args)
+            out = fn(*args)
             jax.block_until_ready(out)
-            # force one scalar readback as the sync point
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0])[:1]
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            best = min(best, time.perf_counter() - t0)
+        return max(best - floor, 1e-6)
 
     t_c = timed(compress_fn, v, quant)
     t_d = timed(decompress_fn, flat2d, widths, quant)

@@ -12,6 +12,7 @@ import dataclasses
 from typing import Optional, Sequence
 
 from .dtypes import (
+    bitplane_encoding_type,
     block_delta_mode_type,
     compressor_type,
     cpu_parallelization_mode,
@@ -71,6 +72,17 @@ class Config:
     mdr_adaptive_resolution: bool = False
     mdr_qoi_mode: bool = False
     mdr_qoi_num_variables: int = 3
+    # Bitplane encoding: SignMagnitude (sign plane + magnitude planes) or
+    # NegaBinary (no sign plane; reference ComposedRefactor.hpp:24).
+    mdr_encoding: bitplane_encoding_type = bitplane_encoding_type.SignMagnitude
+    # Basis for the MDR decomposition: hierarchical (default, reference
+    # MGARDHierarchicalDecomposer) or L2-orthogonal (MGARDOrthoganalDecomposer).
+    mdr_orthogonal_basis: bool = False
+    # Per-bitplane level compressor (reference: MDR-X/LosslessCompressor/
+    # Default/Hybrid/Adaptive/Null): "zlib" (host), "bfx" (device codec,
+    # used for planes large enough to amortize), or "none".
+    mdr_level_compressor: str = "zlib"
+
 
     # --- hybrid refactoring ----------------------------------------------
     num_local_refactoring_level: int = 1

@@ -63,6 +63,14 @@ class lossless_type(enum.IntEnum):
     BFX_Zstd = 9
 
 
+class bitplane_encoding_type(enum.IntEnum):
+    """MDR bitplane encodings (reference: MDR-X BPEncoderRegisterBlock
+    EncodeBinary/EncodeNegaBinary, BPEncoderRegisterBlock.hpp:111,183)."""
+
+    SignMagnitude = 0
+    NegaBinary = 1
+
+
 class block_delta_mode_type(enum.IntEnum):
     Fixed = 0
     Delta = 1
@@ -93,10 +101,6 @@ class domain_decomposition_type(enum.IntEnum):
 class operation_type(enum.IntEnum):
     Compression = 0
     MDR = 1
-
-
-class bitplane_encoding_type(enum.IntEnum):
-    GroupedBitplaneEncoding = 0
 
 
 class compress_status_type(enum.IntEnum):

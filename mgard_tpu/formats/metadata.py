@@ -62,7 +62,7 @@ class Metadata:
     dd_variable_sizes: Sequence[int] = ()
 
     otype: operation_type = operation_type.Compression
-    betype: bitplane_encoding_type = bitplane_encoding_type.GroupedBitplaneEncoding
+    betype: bitplane_encoding_type = bitplane_encoding_type.SignMagnitude
     number_bitplanes: int = 0
 
     ebtype: error_bound_type = error_bound_type.ABS

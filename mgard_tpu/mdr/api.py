@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..dtypes import data_type, dtype_enum, np_dtype
+from ..dtypes import bitplane_encoding_type, data_type, dtype_enum, np_dtype
 from ..formats.metadata import FormatError
 from ..hierarchy import Hierarchy, get_hierarchy
 from ..ops.refactor import decompose, recompose
@@ -40,12 +40,18 @@ from .components import (
 _MAGIC = b"MDRTPU1\x00"
 
 
+# per-plane codec ids (reference: MDR-X/LosslessCompressor component kit)
+PLANE_RAW = 0
+PLANE_ZLIB = 1
+PLANE_BFX = 2
+
+
 @dataclasses.dataclass
 class LevelMetadata:
     exp: int
     n: int  # number of coefficients (unpadded)
     plane_sizes: List[int]  # compressed bytes per stored plane (0=sign)
-    plane_raw: List[bool]  # True if plane stored uncompressed
+    plane_raw: List[int]  # per-plane codec id (PLANE_RAW/ZLIB/BFX)
     err_max: np.ndarray  # (B+1,)
     err_sq: np.ndarray  # (B+1,)
 
@@ -62,16 +68,31 @@ class RefactoredMetadata:
     requested: List[int] = dataclasses.field(default_factory=list)
     prev_used: List[int] = dataclasses.field(default_factory=list)
     coords: Optional[List[np.ndarray]] = None
+    # encoding variant (reference: EncodeBinary vs EncodeNegaBinary,
+    # BPEncoderRegisterBlock.hpp:111,183) and decomposition basis
+    # (hierarchical vs L2-orthogonal decomposer)
+    encoding: bitplane_encoding_type = bitplane_encoding_type.SignMagnitude
+    orthogonal: bool = False
+    # file segments stored in error-impact order (Reorganizer) instead of
+    # level-major order
+    reorganized: bool = False
+
+    @property
+    def sign_rows(self) -> int:
+        return 0 if self.encoding == bitplane_encoding_type.NegaBinary else 1
 
     def serialize(self) -> bytes:
         body = bytearray()
         body += struct.pack(
-            "<BBIQB",
+            "<BBIQBBBB",
             int(self.dtype),
             len(self.shape),
             self.number_bitplanes,
             self.total_num_elems,
             1 if self.coords is not None else 0,
+            int(self.encoding),
+            1 if self.orthogonal else 0,
+            1 if self.reorganized else 0,
         )
         for n in self.shape:
             body += struct.pack("<Q", n)
@@ -99,8 +120,10 @@ class RefactoredMetadata:
         if len(body) != size or (zlib.crc32(body) & 0xFFFFFFFF) != crc:
             raise FormatError("corrupted MDR metadata")
         p = 0
-        dt, nd, B, total, has_coords = struct.unpack_from("<BBIQB", body, p)
-        p += struct.calcsize("<BBIQB")
+        dt, nd, B, total, has_coords, enc, orth, reorg = struct.unpack_from(
+            "<BBIQBBBB", body, p
+        )
+        p += struct.calcsize("<BBIQBBBB")
         shape = []
         for _ in range(nd):
             (n,) = struct.unpack_from("<Q", body, p)
@@ -124,10 +147,10 @@ class RefactoredMetadata:
             p += 4
             sizes, raws = [], []
             for _ in range(nplanes):
-                sz, raw = struct.unpack_from("<IB", body, p)
+                sz, codec = struct.unpack_from("<IB", body, p)
                 p += 5
                 sizes.append(sz)
-                raws.append(bool(raw))
+                raws.append(int(codec))
             err_max = np.frombuffer(body, "<f8", count=B + 1, offset=p).copy()
             p += 8 * (B + 1)
             err_sq = np.frombuffer(body, "<f8", count=B + 1, offset=p).copy()
@@ -141,6 +164,9 @@ class RefactoredMetadata:
             total_num_elems=total,
             levels=levels,
             coords=coords,
+            encoding=bitplane_encoding_type(enc),
+            orthogonal=bool(orth),
+            reorganized=bool(reorg),
         )
         return meta, 16 + size
 
@@ -158,19 +184,22 @@ class ReconstructedData:
 
 
 # ----------------------------------------------------------------------
-def _refactor_device(hier: Hierarchy, B: int):
+def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool):
     L = hier.l_target
+    enc = (
+        bitplane.encode_kernel_negabinary if negabinary else bitplane.encode_kernel
+    )
 
     @jax.jit
     def fn(v):
-        dec = decompose(v, hier, orthogonal=False)
+        dec = decompose(v, hier, orthogonal=orthogonal)
         out = []
         for l in range(L + 1):
             stream = interleave_level(dec, hier, l)
             pad = (-stream.shape[0]) % bitplane.LANES
             if pad:
                 stream = jnp.concatenate([stream, jnp.zeros((pad,), stream.dtype)])
-            out.append(bitplane.encode_kernel(stream, B))
+            out.append(enc(stream, B))
         return out
 
     return fn
@@ -192,26 +221,34 @@ def MDRefactor(
     coords_list = [np.asarray(c, np.float64) for c in coords] if coords else None
     hier = get_hierarchy(shape, arr.dtype, coords_list, config)
     B = int(config.total_num_bitplanes)
+    negabinary = config.mdr_encoding == bitplane_encoding_type.NegaBinary
+    orthogonal = bool(config.mdr_orthogonal_basis)
 
-    results = _refactor_device(hier, B)(jnp.asarray(arr))
+    results = _refactor_device(hier, B, negabinary, orthogonal)(jnp.asarray(arr))
 
     levels = []
     planes_data: List[List[bytes]] = []
+    lvl_codec = getattr(config, "mdr_level_compressor", "zlib")
     for l, (planes, exp, err_max, err_sq) in enumerate(results):
-        planes_h = np.asarray(planes)  # (B+1, m) uint32
+        planes_h = np.asarray(planes)  # (B+1 or B, m) uint32
         n = level_num_elems(hier, l)
         sizes, raws, blobs = [], [], []
         for p in range(planes_h.shape[0]):
             raw_bytes = planes_h[p].astype("<u4").tobytes()
-            z = zlib.compress(raw_bytes, 1)
-            if len(z) < len(raw_bytes):
-                blobs.append(z)
-                sizes.append(len(z))
-                raws.append(False)
-            else:
-                blobs.append(raw_bytes)
-                sizes.append(len(raw_bytes))
-                raws.append(True)
+            best, codec = raw_bytes, PLANE_RAW
+            if lvl_codec == "zlib":
+                z = zlib.compress(raw_bytes, 1)
+                if len(z) < len(best):
+                    best, codec = z, PLANE_ZLIB
+            elif lvl_codec == "bfx" and planes_h.shape[1] >= 8192:
+                from ..lossless import bfx as _bfx
+
+                z = _bfx.encode(planes_h[p].view(np.int32))
+                if len(z) < len(best):
+                    best, codec = z, PLANE_BFX
+            blobs.append(best)
+            sizes.append(len(best))
+            raws.append(codec)
         levels.append(
             LevelMetadata(int(exp), n, sizes, raws, np.asarray(err_max), np.asarray(err_sq))
         )
@@ -225,6 +262,8 @@ def MDRefactor(
         total_num_elems=hier.total_num_elems,
         levels=levels,
         coords=coords_list,
+        encoding=config.mdr_encoding,
+        orthogonal=orthogonal,
     )
     return meta, RefactoredData(planes=planes_data)
 
@@ -242,13 +281,52 @@ def MDRequest(meta: RefactoredMetadata, tol: float, s: float = float("inf")) -> 
 def retrieve_size(meta: RefactoredMetadata, counts: Sequence[int]) -> int:
     """Bytes needed to satisfy a retrieval plan (incremental over prev_used)."""
     prev = meta.prev_used or [0] * len(counts)
+    sr = meta.sign_rows
     total = 0
     for lm, c, pu in zip(meta.levels, counts, prev):
-        if c > 0 and pu == 0:
+        if sr and c > 0 and pu == 0:
             total += lm.plane_sizes[0]  # sign plane
         for b in range(pu, c):
-            total += lm.plane_sizes[b + 1]
+            total += lm.plane_sizes[b + sr]
     return total
+
+
+_RECON_CACHE: dict = {}
+
+
+def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
+                        negabinary: bool, orthogonal: bool, dtype):
+    """Fully-jitted progressive reconstruct: per-level bitplane decode,
+    in-graph deinterleave (static slab writes), and recompose — the device
+    counterpart of the reference's BPDecoderRegisterBlockKernel +
+    ProgressiveReconstruct chain (no per-plane host loops)."""
+    key = (id(hier), B, counts, negabinary, orthogonal, np.dtype(dtype).name)
+    if key in _RECON_CACHE:
+        return _RECON_CACHE[key]
+    from .components import level_regions
+
+    dec_fn = (
+        bitplane.decode_kernel_negabinary if negabinary else bitplane.decode_kernel
+    )
+
+    @jax.jit
+    def fn(planes_list, exps):
+        dec = jnp.zeros(hier.shape, jnp.float64)
+        for l, planes in enumerate(planes_list):
+            b = counts[l]
+            if b == 0:
+                continue
+            vals = dec_fn(planes, exps[l], B, b)
+            off = 0
+            for r in level_regions(hier, l):
+                shp = tuple(s.stop - s.start for s in r)
+                n = int(np.prod(shp))
+                dec = dec.at[r].set(vals[off : off + n].reshape(shp))
+                off += n
+        return recompose(dec.astype(dtype), hier, orthogonal=orthogonal)
+
+    _RECON_CACHE[key] = fn
+    return fn
 
 
 def MDReconstruct(
@@ -267,24 +345,35 @@ def MDReconstruct(
     dtype = np_dtype(meta.dtype)
     hier = get_hierarchy(meta.shape, dtype, meta.coords, config)
     B = meta.number_bitplanes
+    sr = meta.sign_rows
+    negabinary = sr == 0
 
-    dec = np.zeros(meta.shape, np.float64)
+    planes_list = []
+    exps = []
     for l, lm in enumerate(meta.levels):
         b = counts[l]
-        if b == 0:
-            continue
         m = (lm.n + bitplane.LANES - 1) // bitplane.LANES
-        rows = np.zeros((1 + b, m), np.uint32)
-        for p in range(1 + b):
+        rows = np.zeros((sr + b, m), np.uint32)
+        for p in range(sr + b):
             blob = data.planes[l][p]
-            raw = blob if lm.plane_raw[p] else zlib.decompress(blob)
-            rows[p] = np.frombuffer(raw, "<u4", count=m)
-        vals = np.asarray(bitplane.decode_level(rows, lm.exp, B, b, lm.n))
-        deinterleave_level(dec, vals, hier, l)
+            codec = int(lm.plane_raw[p])
+            if codec == PLANE_ZLIB:
+                raw = zlib.decompress(blob)
+            elif codec == PLANE_BFX:
+                from ..lossless import bfx as _bfx
 
-    rec = np.asarray(
-        _recompose_jit(hier)(jnp.asarray(dec.astype(dtype)))
+                syms, _ = _bfx.decode(blob)
+                raw = np.asarray(syms).view(np.uint32)[:m].tobytes()
+            else:
+                raw = blob
+            rows[p] = np.frombuffer(raw, "<u4", count=m)
+        planes_list.append(jnp.asarray(rows))
+        exps.append(lm.exp)
+
+    fn = _reconstruct_device(
+        hier, B, tuple(counts), negabinary, bool(meta.orthogonal), dtype
     )
+    rec = np.asarray(fn(tuple(planes_list), jnp.asarray(exps, jnp.int32)))
     out = state or ReconstructedData()
     out.data = rec
     out.used = counts
@@ -292,26 +381,55 @@ def MDReconstruct(
     return out
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _recompose_jit_inner(hier, v):
-    return recompose(v, hier, orthogonal=False)
-
-
-def _recompose_jit(hier):
-    return lambda v: _recompose_jit_inner(hier, v)
-
-
 # ----------------------------------------------------------------------
 # File writer/retriever (reference: ConcatLevelFileWriter /
-# ConcatLevelFileRetriever, MDR-X/{Writer,Retriever}/)
+# ConcatLevelFileRetriever, MDR-X/{Writer,Retriever}/) and Reorganizer
+# (reference: MDR-X/Reorganizer/BasicReorganizer — order segments by error
+# impact so a byte-range prefix read retrieves the most useful planes)
 # ----------------------------------------------------------------------
-def write_mdr(path: str, meta: RefactoredMetadata, data: RefactoredData) -> None:
+def segment_order(meta: RefactoredMetadata, s: float = float("inf")):
+    """Deterministic storage order of (level, row) segments.
+
+    Level-major when not reorganized; otherwise greedy error-impact order
+    (each level's sign plane rides immediately before its first magnitude
+    plane). Readers recompute the identical order from the metadata, so no
+    extra index is stored."""
+    L = len(meta.levels)
+    sr = meta.sign_rows
+    if not meta.reorganized:
+        return [(l, p) for l in range(L) for p in range(len(meta.levels[l].plane_sizes))]
+    import heapq as _hq
+    import math as _math
+
+    def gain(l, b):
+        lm = meta.levels[l]
+        red = float(lm.err_max[b] - lm.err_max[b + 1]) if _math.isinf(s) else float(
+            lm.err_sq[b] - lm.err_sq[b + 1]
+        )
+        cost = lm.plane_sizes[b + sr] + (lm.plane_sizes[0] if (b == 0 and sr) else 0)
+        return red / max(cost, 1)
+
+    order = []
+    heap = [(-gain(l, 0), l, 0) for l in range(L)]
+    _hq.heapify(heap)
+    B = meta.number_bitplanes
+    while heap:
+        _, l, b = _hq.heappop(heap)
+        if b == 0 and sr:
+            order.append((l, 0))
+        order.append((l, b + sr))
+        if b + 1 < B:
+            _hq.heappush(heap, (-gain(l, b + 1), l, b + 1))
+    return order
+
+
+def write_mdr(path: str, meta: RefactoredMetadata, data: RefactoredData,
+              s: float = float("inf")) -> None:
     header = meta.serialize()
     with open(path, "wb") as f:
         f.write(header)
-        for blobs in data.planes:
-            for b in blobs:
-                f.write(b)
+        for l, p in segment_order(meta, s):
+            f.write(data.planes[l][p])
 
 
 def read_mdr_metadata(path: str) -> tuple[RefactoredMetadata, int]:
@@ -323,21 +441,22 @@ def read_mdr_metadata(path: str) -> tuple[RefactoredMetadata, int]:
 
 
 def read_mdr_planes(
-    path: str, meta: RefactoredMetadata, counts: Sequence[int], header_size: int
+    path: str, meta: RefactoredMetadata, counts: Sequence[int], header_size: int,
+    s: float = float("inf"),
 ) -> RefactoredData:
     """Retrieve only the planes a plan needs (byte-ranged reads)."""
-    offsets = []
+    offsets = [
+        [None] * len(lm.plane_sizes) for lm in meta.levels
+    ]
     off = header_size
-    for lm in meta.levels:
-        lvl = []
-        for sz in lm.plane_sizes:
-            lvl.append((off, sz))
-            off += sz
-        offsets.append(lvl)
+    for l, p in segment_order(meta, s):
+        sz = meta.levels[l].plane_sizes[p]
+        offsets[l][p] = (off, sz)
+        off += sz
     planes: List[List[bytes]] = []
     with open(path, "rb") as f:
         for l, lm in enumerate(meta.levels):
-            need = 1 + counts[l] if counts[l] > 0 else 0
+            need = meta.sign_rows + counts[l] if counts[l] > 0 else 0
             lvl = []
             for p in range(len(lm.plane_sizes)):
                 if p < need:
@@ -347,3 +466,77 @@ def read_mdr_planes(
                     lvl.append(b"")
             planes.append(lvl)
     return RefactoredData(planes=planes)
+
+
+# ----------------------------------------------------------------------
+# MDR over a decomposed domain (reference: MDRHighLevel.hpp:74-173 runs
+# MDRefactor/MDReconstruct per DomainDecomposer subdomain; subdomains are
+# halo-free and independent)
+# ----------------------------------------------------------------------
+@dataclasses.dataclass
+class DecomposedMDR:
+    shape: tuple
+    subdomain_slices: List[tuple]
+    metas: List[RefactoredMetadata]
+    datas: List[RefactoredData]
+
+
+def MDRefactorDecomposed(
+    data,
+    config: Optional[Config] = None,
+    coords: Optional[Sequence[np.ndarray]] = None,
+) -> DecomposedMDR:
+    """Refactor each DomainDecomposer subdomain independently."""
+    from ..decomposer import DomainDecomposer
+
+    config = config or Config()
+    arr = np.asarray(data)
+    dd = DomainDecomposer(arr.shape, arr.dtype, config)
+    metas, datas, sls = [], [], []
+    coords_list = [np.asarray(c, np.float64) for c in coords] if coords else None
+    for i in range(dd.num_subdomains):
+        sl = dd.subdomain_slices(i)
+        sub_coords = (
+            [c[s] for c, s in zip(coords_list, sl)] if coords_list else None
+        )
+        m, d = MDRefactor(arr[sl], config, sub_coords)
+        metas.append(m)
+        datas.append(d)
+        sls.append(sl)
+    return DecomposedMDR(
+        shape=tuple(int(s) for s in arr.shape),
+        subdomain_slices=sls,
+        metas=metas,
+        datas=datas,
+    )
+
+
+def MDRequestDecomposed(
+    dmdr: DecomposedMDR, tol: float, s: float = float("inf")
+) -> List[List[int]]:
+    """Plan per-subdomain bitplane counts for a global tolerance.
+
+    L-inf: each subdomain independently meets tol. Finite s: per-subdomain
+    L2 errors add in quadrature, so each meets tol/sqrt(S) (the same rule
+    as compression's calc_local_abs_tol)."""
+    import math as _math
+
+    S = len(dmdr.metas)
+    local = tol if _math.isinf(s) else tol / _math.sqrt(S)
+    return [MDRequest(m, local, s) for m in dmdr.metas]
+
+
+def MDReconstructDecomposed(
+    dmdr: DecomposedMDR,
+    counts: Optional[List[List[int]]] = None,
+    config: Optional[Config] = None,
+) -> np.ndarray:
+    """Reconstruct the full domain from per-subdomain plans."""
+    config = config or Config()
+    out = np.empty(dmdr.shape, np_dtype(dmdr.metas[0].dtype))
+    for i, (m, d, sl) in enumerate(
+        zip(dmdr.metas, dmdr.datas, dmdr.subdomain_slices)
+    ):
+        c = counts[i] if counts is not None else None
+        out[sl] = MDReconstruct(m, d, c, config).data
+    return out

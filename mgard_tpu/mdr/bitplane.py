@@ -102,6 +102,79 @@ def decode_kernel(planes, exp, B: int, b: int):
     return vals.reshape(m * LANES)
 
 
+# ----------------------------------------------------------------------
+# NegaBinary encoding (reference: NegaBinaryBPEncoder, MDR/BitplaneEncoder/
+# and the EncodeNegaBinary path of BPEncoderRegisterBlock.hpp:183): signed
+# fixed-point values are mapped to base(-2) digits, removing the separate
+# sign plane; truncating trailing planes still yields a signed value.
+# ----------------------------------------------------------------------
+def _nb_mask(B: int) -> int:
+    """0b1010...10 over B bits (weights of the odd, negative, positions)."""
+    m = 0
+    for j in range(1, B, 2):
+        m |= 1 << j
+    return m
+
+
+@partial(jax.jit, static_argnums=(1,))
+def encode_kernel_negabinary(coeff, B: int):
+    """NegaBinary variant of encode_kernel.
+
+    Returns (planes (B, n//32) uint32 [rows = MSB..LSB, no sign plane],
+    exp, err_max (B+1,), err_sq (B+1,)). The fixed-point scale uses B-2
+    fraction bits so both signs fit the B-bit negabinary range
+    [-(2/3)2^B, (1/3)2^B)."""
+    n = coeff.shape[0]
+    v = coeff.astype(jnp.float64)
+    amax = jnp.max(jnp.abs(v))
+    exp = jnp.where(amax > 0, jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300))), 0.0)
+    exp = exp.astype(jnp.int32)
+    scale = jnp.exp2((B - 2) - exp.astype(jnp.float64))
+    lim = float(2 ** (B - 2) - 1)
+    fixed = jnp.clip(jnp.round(v * scale), -lim, lim).astype(jnp.int64)
+    M = _nb_mask(B)
+    u = ((fixed + M) ^ M).astype(jnp.uint32)  # B-bit negabinary digits
+
+    m = n // LANES
+    ub = u.reshape(m, LANES)
+    rows = []
+    for j in range(B - 1, -1, -1):  # MSB first
+        rows.append(_pack_bits((ub >> jnp.uint32(j)) & jnp.uint32(1)))
+    planes = jnp.stack(rows, axis=0)  # (B, m)
+
+    inv_scale = 1.0 / scale
+    err_max = []
+    err_sq = []
+    for b in range(B + 1):
+        if b == 0:
+            rec = jnp.zeros_like(v)
+        else:
+            keep = jnp.uint32(((1 << B) - 1) & ~((1 << (B - b)) - 1))
+            ut = u & keep
+            xt = (ut.astype(jnp.int64) ^ M) - M
+            rec = xt.astype(jnp.float64) * inv_scale
+        diff = v - rec
+        err_max.append(jnp.max(jnp.abs(diff)))
+        err_sq.append(jnp.sum(diff * diff))
+    return planes, exp, jnp.stack(err_max), jnp.stack(err_sq)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def decode_kernel_negabinary(planes, exp, B: int, b: int):
+    """Reconstruct from the b leading negabinary planes.
+    planes: (b, m) uint32. Returns (m*32,) float64."""
+    m = planes.shape[1]
+    lanes = jnp.arange(LANES, dtype=jnp.uint32)[None, :]
+    u = jnp.zeros((m, LANES), jnp.uint32)
+    for i in range(b):
+        bit = (planes[i][:, None] >> lanes) & jnp.uint32(1)
+        u = u | (bit << jnp.uint32(B - 1 - i))
+    M = _nb_mask(B)
+    x = (u.astype(jnp.int64) ^ M) - M
+    inv_scale = jnp.exp2(exp.astype(jnp.float64) - (B - 2))
+    return (x.astype(jnp.float64) * inv_scale).reshape(m * LANES)
+
+
 def encode_level(coeff_flat, B: int):
     """Host wrapper: pad to a multiple of 32 and encode."""
     n = int(coeff_flat.shape[0])

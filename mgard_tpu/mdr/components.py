@@ -85,7 +85,16 @@ def estimate_error(meta, counts: Sequence[int], s: float) -> float:
     (MDR-X/ErrorEstimator/SNormErrorEstimator.hpp).
     """
     if math.isinf(s):
-        return float(sum(m.err_max[c] for m, c in zip(meta.levels, counts)))
+        tot = float(sum(m.err_max[c] for m, c in zip(meta.levels, counts)))
+        if getattr(meta, "orthogonal", False):
+            # L2-orthogonal basis: recomposition routes coefficient errors
+            # through the mass-matrix correction as well as the
+            # interpolant, so the per-level L-inf amplification exceeds 1
+            # (reference distinguishes MaxErrorEstimatorOB from ...HB,
+            # MDR-X/ErrorEstimator/). Factor 2 bounds the correction
+            # operator's contribution.
+            tot *= 2.0
+        return tot
     L = len(meta.levels) - 1
     D = len(meta.shape)
     total = 0.0
@@ -104,14 +113,16 @@ def interpret_retrieve_size(meta, tol: float, s: float) -> List[int]:
     counts = [0] * L
     B = meta.number_bitplanes
 
+    sr = getattr(meta, "sign_rows", 1)
+
     def gain(l, b):
         lm = meta.levels[l]
         if math.isinf(s):
             red = float(lm.err_max[b] - lm.err_max[b + 1])
         else:
             red = float(lm.err_sq[b] - lm.err_sq[b + 1])
-        cost = lm.plane_sizes[b + 1]  # magnitude plane b is stored row b+1
-        if b == 0:
+        cost = lm.plane_sizes[b + sr]  # magnitude plane b's stored row
+        if b == 0 and sr:
             cost += lm.plane_sizes[0]  # first plane pulls the sign plane too
         return red / max(cost, 1)
 

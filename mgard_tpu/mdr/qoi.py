@@ -51,8 +51,11 @@ def plan_joint_retrieval(
 
     def gain(v, l, b):
         lm = metas[v].levels[l]
+        sr = getattr(metas[v], "sign_rows", 1)
         red = float(lm.err_max[b] - lm.err_max[b + 1])
-        cost = lm.plane_sizes[b + 1] + (lm.plane_sizes[0] if b == 0 else 0)
+        cost = lm.plane_sizes[b + sr] + (
+            lm.plane_sizes[0] if (b == 0 and sr) else 0
+        )
         return red / max(cost, 1)
 
     heap = []

@@ -127,3 +127,97 @@ def test_l2_mode_request():
     rec = mdr.MDReconstruct(meta, data, counts)
     l2 = float(np.sqrt(np.mean((rec.data - v) ** 2)))
     assert l2 <= tol
+
+
+# ----------------------------------------------------------------------
+# Round-2 additions: NegaBinary encoding, orthogonal basis, decomposed MDR
+# ----------------------------------------------------------------------
+def test_negabinary_roundtrip_and_progression():
+    import numpy as np
+    from mgard_tpu import Config
+    from mgard_tpu.dtypes import bitplane_encoding_type
+    from mgard_tpu.mdr.api import MDRefactor, MDReconstruct, MDRequest
+
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((17, 17)).astype(np.float32)
+    cfg = Config()
+    cfg.mdr_encoding = bitplane_encoding_type.NegaBinary
+    cfg.total_num_bitplanes = 30
+    meta, data = MDRefactor(v, cfg)
+    assert meta.sign_rows == 0
+    # metadata round-trips the encoding flag
+    m2, _ = type(meta).deserialize(meta.serialize())
+    assert m2.encoding == bitplane_encoding_type.NegaBinary
+    errs = []
+    for tol in (1e-1, 1e-2, 1e-3):
+        counts = MDRequest(meta, tol)
+        meta.prev_used = []
+        out = MDReconstruct(meta, data, counts, cfg)
+        err = float(np.max(np.abs(out.data - v)))
+        assert err <= tol
+        errs.append(err)
+    assert errs[0] >= errs[-1]
+
+
+def test_orthogonal_basis_roundtrip():
+    import numpy as np
+    from mgard_tpu import Config
+    from mgard_tpu.mdr.api import MDRefactor, MDReconstruct, MDRequest
+
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((16, 9)).astype(np.float32)
+    cfg = Config()
+    cfg.mdr_orthogonal_basis = True
+    meta, data = MDRefactor(v, cfg)
+    assert meta.orthogonal
+    counts = MDRequest(meta, 1e-3)
+    out = MDReconstruct(meta, data, counts, cfg)
+    assert float(np.max(np.abs(out.data - v))) <= 1e-3
+
+
+def test_decomposed_mdr():
+    import numpy as np
+    from mgard_tpu import Config
+    from mgard_tpu.dtypes import domain_decomposition_type
+    from mgard_tpu.mdr.api import (
+        MDReconstructDecomposed,
+        MDRefactorDecomposed,
+        MDRequestDecomposed,
+    )
+
+    rng = np.random.default_rng(9)
+    v = rng.standard_normal((24, 9, 9)).astype(np.float32)
+    cfg = Config()
+    cfg.domain_decomposition = domain_decomposition_type.Block
+    cfg.block_size = 9
+    dmdr = MDRefactorDecomposed(v, cfg)
+    assert len(dmdr.metas) > 1
+    plans = MDRequestDecomposed(dmdr, 1e-2)
+    out = MDReconstructDecomposed(dmdr, plans, cfg)
+    assert float(np.max(np.abs(out - v))) <= 1e-2
+
+
+def test_reorganized_writer_roundtrip(tmp_path):
+    import numpy as np
+    from mgard_tpu import Config
+    from mgard_tpu.mdr.api import (
+        MDReconstruct,
+        MDRefactor,
+        MDRequest,
+        read_mdr_metadata,
+        read_mdr_planes,
+        write_mdr,
+    )
+
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((17, 17)).astype(np.float32)
+    meta, data = MDRefactor(v)
+    meta.reorganized = True
+    path = str(tmp_path / "x.mdr")
+    write_mdr(path, meta, data)
+    m2, hdr = read_mdr_metadata(path)
+    assert m2.reorganized
+    counts = MDRequest(m2, 1e-2)
+    d2 = read_mdr_planes(path, m2, counts, hdr)
+    out = MDReconstruct(m2, d2, counts)
+    assert float(np.max(np.abs(out.data - v))) <= 1e-2
