@@ -31,6 +31,7 @@ def print_usage(err: str = ""):
 \t\t -em / --error-bound-mode <abs|rel>
 \t\t -e / --error-bound <float>
 \t\t -s / --smoothness <float|inf>
+\t\t (optional) -c / --compressor <mgard|zfp>
 \t\t -l / --lossless <bfx|bfx-zstd|huffman|huffman-lz4|huffman-zstd|cpu|zstd|lz4|blockdelta[-fixed|-delta|-outlier]|zero-rle-rans|symbol-rans>
 \t\t (optional) -dd / --domain-decomposition <max-dim|block|variable>
 \t\t (optional) -dd-size / --domain-decomposition-size <int>
@@ -148,6 +149,11 @@ def main(argv=None):
         # (Timer.hpp:28-45 semantics, wired through utils.log)
         cfg.log_level = (1, 3, 7, 15)[min(verbose, 3)]
         cfg.lossless = lossless_type[_LOSSLESS[lname]]
+        cname = _get(argv, "-c", "--compressor", default="mgard")
+        if cname == "zfp":
+            from mgard_tpu.dtypes import compressor_type
+
+            cfg.compressor = compressor_type.ZFP
         if lname.endswith("-fixed"):
             cfg.block_delta_mode = block_delta_mode_type.Fixed
         elif lname.endswith("-outlier"):

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..dtypes import (
     bitplane_encoding_type,
+    compressor_type,
     data_structure_type,
     data_type,
     decomposition_type,
@@ -77,6 +78,10 @@ class Metadata:
     block_delta_block_size: int = 256
 
     ptype: processor_type = processor_type.X_TPU
+    # low-level compressor selection (reference: compressor_type in
+    # Types.h:85 - MGARD multigrid pipeline or the ZFP-style transform
+    # compressor behind the same interface)
+    ctype: compressor_type = compressor_type.MGARD
 
     # region-of-interest adaptive bounds (ops/roi.py); the ROI mask itself
     # travels in the payload
@@ -121,6 +126,7 @@ class Metadata:
             int(self.block_delta_block_size),
         )
         body += struct.pack("<B", int(self.ptype))
+        body += struct.pack("<B", int(self.ctype))
         body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
 
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
@@ -205,6 +211,9 @@ class Metadata:
         (pt,) = struct.unpack_from("<B", body, p)
         p += 1
         m.ptype = processor_type(pt)
+        (ct,) = struct.unpack_from("<B", body, p)
+        p += 1
+        m.ctype = compressor_type(ct)
         roi_en, roi_f = struct.unpack_from("<Bd", body, p)
         p += 9
         m.roi_enabled = bool(roi_en)

@@ -31,6 +31,7 @@ from .decomposer import DomainDecomposer, calc_local_abs_tol
 from .dtypes import (
     MAX_DIM,
     compress_status_type,
+    compressor_type,
     data_structure_type,
     data_type,
     decomposition_type,
@@ -273,6 +274,9 @@ def compress(
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(config)
 
+        if config.compressor == compressor_type.ZFP:
+            return _compress_zfp_path(arr, tol, s, mode, config, dt, shape)
+
         dd = DomainDecomposer(shape, arr.dtype, config)
         S = dd.num_subdomains
 
@@ -391,6 +395,34 @@ def compress(
         return b"", compress_status_type.Failure
 
 
+def _compress_zfp_path(arr, tol, s, mode, config, dt, shape):
+    """ZFP-style transform compressor behind the standard self-describing
+    header (reference: compressor_type::ZFP selection in
+    CompressionHighLevel.hpp:311-341). ABS/REL L-inf bounds."""
+    from .zfp import compress_zfp
+
+    if not math.isinf(s):
+        return b"", compress_status_type.Failure
+    abs_tol = float(tol)
+    norm = 0.0
+    if mode == error_bound_type.REL:
+        norm = calculate_norm(jnp.asarray(arr), s, False)
+        abs_tol = tol * norm
+    payload = compress_zfp(arr, tol=abs_tol, config=config)
+    meta = Metadata(
+        dtype=dt,
+        shape=shape,
+        decomposition=config.decomposition,
+        ebtype=mode,
+        norm=norm,
+        tol=float(tol),
+        s=float(s),
+        ltype=config.lossless,
+        ctype=compressor_type.ZFP,
+    )
+    return meta.serialize() + payload, compress_status_type.Success
+
+
 def decompress(
     blob: bytes, config: Optional[Config] = None
 ) -> Tuple[Optional[np.ndarray], compress_status_type]:
@@ -419,6 +451,13 @@ def decompress(
 
         dtype = np_dtype(meta.dtype)
         shape = tuple(meta.shape)
+        if getattr(meta, "ctype", compressor_type.MGARD) == compressor_type.ZFP:
+            from .zfp import decompress_zfp
+
+            out, _ = decompress_zfp(blob, off)
+            t_total.end()
+            t_total.print("decompress total", out.nbytes)
+            return out.astype(dtype), compress_status_type.Success
         s = meta.s
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)

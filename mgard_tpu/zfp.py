@@ -1,0 +1,270 @@
+"""ZFP-style transform compressor (fixed-accuracy / fixed-precision).
+
+TPU-native counterpart of the reference's external ZFP low-level compressor
+(reference: include/mgard-x/ExternalCompressionLowLevel/ZFP/Compressor.hpp,
+~3,400 LoC of device kernels, selected by compressor_type::ZFP behind the
+same Compressor interface). The algorithm follows zfp's architecture:
+
+  * 4^d blocks with per-block common-exponent (block-floating-point)
+    fixed-point conversion;
+  * zfp's exact integer lifting transform along each axis (fwd_lift /
+    inv_lift), fully vectorized across all blocks;
+  * coefficients reordered by total degree (low frequencies first);
+  * embedded truncation: fixed-accuracy mode drops bitplanes below the
+    error budget per block, fixed-precision mode keeps P planes;
+  * the truncated integer coefficients are entropy-packed with the BFX
+    bitplane codec (lossless/bfx.py) — the TPU-native substitute for
+    zfp's sequential group-tested embedded coding, which is inherently
+    bit-serial and hostile to a vector ISA.
+
+The bitstream is this framework's own (not zfp-file compatible — the
+reference's internal ZFP port is likewise an internal format behind
+mgard_x::compress). Fixed-accuracy honours an absolute L-inf bound.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .dtypes import compress_status_type
+from .lossless import bfx
+
+_MAGIC = b"ZFPT"
+_HDR = "<4sBBdB"  # magic, ndim, mode, tol_or_precision, dtype(0=f32,1=f64)
+
+MODE_ACCURACY = 0
+MODE_PRECISION = 1
+
+# fixed-point fraction bits per dimensionality (guard bits keep the
+# d-dimensional forward transform inside int32)
+_Q = {1: 28, 2: 27, 3: 26}
+# conservative L-inf amplification of the d-dimensional inverse transform
+# (validated by tests/test_zfp.py bound checks)
+_AMP = {1: 4.0, 2: 8.0, 3: 16.0}
+
+
+def _fwd_lift(x0, x1, x2, x3):
+    """zfp's exact integer forward lifting on a length-4 fiber."""
+    x0 = x0 + x3
+    x0 = x0 >> 1
+    x3 = x3 - x0
+    x2 = x2 + x1
+    x2 = x2 >> 1
+    x1 = x1 - x2
+    x0 = x0 + x2
+    x0 = x0 >> 1
+    x2 = x2 - x0
+    x3 = x3 + x1
+    x3 = x3 >> 1
+    x1 = x1 - x3
+    x3 = x3 + (x1 >> 1)
+    x1 = x1 - (x3 >> 1)
+    return x0, x1, x2, x3
+
+
+def _inv_lift(x0, x1, x2, x3):
+    x1 = x1 + (x3 >> 1)
+    x3 = x3 - (x1 >> 1)
+    x1 = x1 + x3
+    x3 = (x3 << 1) - x1
+    x2 = x2 + x0
+    x0 = (x0 << 1) - x2
+    x1 = x1 + x2
+    x2 = (x2 << 1) - x1
+    x3 = x3 + x0
+    x0 = (x0 << 1) - x3
+    return x0, x1, x2, x3
+
+
+def _transform_axis(blocks, axis, inverse: bool):
+    """Apply the lifting transform along one length-4 axis of
+    blocks (NB, 4[, 4[, 4]]) int32."""
+    idx = [slice(None)] * blocks.ndim
+    fib = []
+    for i in range(4):
+        idx[axis] = i
+        fib.append(blocks[tuple(idx)])
+    out = (_inv_lift if inverse else _fwd_lift)(*fib)
+    return jnp.stack(out, axis=axis)
+
+
+def _degree_perm(d: int) -> np.ndarray:
+    """Static permutation ordering a flattened 4^d block by total degree
+    (zfp's PERM tables)."""
+    coords = np.stack(
+        np.meshgrid(*([np.arange(4)] * d), indexing="ij"), axis=-1
+    ).reshape(-1, d)
+    keys = [tuple(c) for c in coords]
+    order = sorted(range(len(keys)), key=lambda i: (sum(keys[i]), keys[i]))
+    return np.array(order, np.int64)
+
+
+def _apply_perm(x, perm):
+    """Static 64-way permutation along axis 1 via column slices (a
+    constant-index gather runs ~75M elem/s on TPU; 4^d static slices are
+    dense)."""
+    return jnp.stack([x[:, int(i)] for i in perm], axis=1)
+
+
+def _blockize(v, d: int):
+    """(padded) array -> (NB, 4^d) int-ready float blocks."""
+    shape = v.shape
+    grid = [s // 4 for s in shape]
+    resh = []
+    for g in grid:
+        resh += [g, 4]
+    x = v.reshape(resh)
+    # (g0, 4, g1, 4, ...) -> (g0, g1, ..., 4, 4, ...)
+    perm = list(range(0, 2 * d, 2)) + list(range(1, 2 * d, 2))
+    x = x.transpose(perm)
+    return x.reshape((-1,) + (4,) * d)
+
+
+def _unblockize(blocks, shape, d: int):
+    grid = [s // 4 for s in shape]
+    x = blocks.reshape(tuple(grid) + (4,) * d)
+    perm = []
+    for i in range(d):
+        perm += [i, d + i]
+    x = x.transpose(perm)
+    return x.reshape(shape)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _encode_core(v, d: int, mode: int, param: float, use_pallas: bool):
+    """Returns (symbols int32 flat degree-ordered, emax (NB,) int32,
+    cut (NB,) int32)."""
+    q = _Q[d]
+    blocks = _blockize(v, d)  # (NB, 4,..)
+    NB = blocks.shape[0]
+    flatb = blocks.reshape(NB, -1)
+    amax = jnp.max(jnp.abs(flatb), axis=1)
+    # emax: smallest e with 2^e >= amax (0 for all-zero blocks)
+    emax = jnp.where(
+        amax > 0,
+        jnp.ceil(jnp.log2(jnp.maximum(amax.astype(jnp.float64), 1e-300))),
+        0.0,
+    ).astype(jnp.int32)
+    # scale in float64: 2^(q-emax) can exceed the f32 exponent range for
+    # blocks of tiny (near-denormal) values
+    scale = jnp.exp2((q - emax).astype(jnp.float64))
+    bshape = (NB,) + (1,) * d
+    fixed = jnp.round(
+        blocks.astype(jnp.float64) * scale.reshape(bshape)
+    ).astype(jnp.int32)
+    for ax in range(1, d + 1):
+        fixed = _transform_axis(fixed, ax, inverse=False)
+    coeff = _apply_perm(fixed.reshape(NB, -1), _degree_perm(d))
+
+    if mode == MODE_ACCURACY:
+        # per-block plane cut so that |error| <= tol after the inverse
+        # transform: 2^cut * 2^(emax-q) * AMP <= tol
+        budget = math.log2(max(param, 1e-300) / _AMP[d])
+        cut = jnp.clip(
+            jnp.floor(budget - (emax - q).astype(jnp.float64)).astype(jnp.int32),
+            0,
+            q + 8,
+        )
+    else:
+        keep = int(param)
+        cut = jnp.full((NB,), max(0, q + 2 - keep), jnp.int32)
+    sym = coeff >> cut[:, None]  # arithmetic shift: truncation toward -inf
+    return sym.reshape(-1), emax, cut
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _decode_core(sym, emax, cut, d: int, shape: Tuple[int, ...], dtype,
+                 use_pallas: bool):
+    q = _Q[d]
+    NB = emax.shape[0]
+    coeff = sym.reshape(NB, -1)
+    # midpoint restore: floor-truncation puts the true value in
+    # [c<<cut, (c+1)<<cut); +2^(cut-1) halves the worst case
+    half = jnp.where(cut > 0, (jnp.int32(1) << jnp.maximum(cut - 1, 0)), 0)
+    vals = (coeff << cut[:, None]) + half[:, None]
+    inv_perm = np.argsort(_degree_perm(d))
+    vals = _apply_perm(vals, inv_perm)
+    blocks = vals.reshape((NB,) + (4,) * d)
+    for ax in range(d, 0, -1):
+        blocks = _transform_axis(blocks, ax, inverse=True)
+    inv_scale = jnp.exp2((emax - q).astype(jnp.float64))
+    bshape = (NB,) + (1,) * d
+    out = (blocks.astype(jnp.float64) * inv_scale.reshape(bshape)).astype(dtype)
+    return _unblockize(out, shape, d)
+
+
+def _pad_shape(shape):
+    return tuple((s + 3) // 4 * 4 for s in shape)
+
+
+def compress_zfp(
+    data,
+    tol: Optional[float] = None,
+    precision: Optional[int] = None,
+    config: Optional[Config] = None,
+) -> bytes:
+    """Compress with the ZFP-style transform codec.
+
+    Exactly one of tol (fixed-accuracy, absolute L-inf bound) or precision
+    (fixed-precision, kept bitplanes per block) must be given."""
+    config = config or Config()
+    if (tol is None) == (precision is None):
+        raise ValueError("give exactly one of tol / precision")
+    arr = np.asarray(data)
+    if arr.ndim < 1 or arr.ndim > 3:
+        raise ValueError("zfp path supports 1-3 dimensions")
+    d = arr.ndim
+    shape = arr.shape
+    padded = _pad_shape(shape)
+    if padded != shape:
+        arr = np.pad(arr, [(0, p - s) for s, p in zip(shape, padded)], mode="edge")
+    mode = MODE_ACCURACY if tol is not None else MODE_PRECISION
+    param = float(tol if tol is not None else precision)
+    use_pallas = jax.default_backend() == "tpu"
+    sym, emax, cut = _encode_core(jnp.asarray(arr), d, mode, param, use_pallas)
+    payload = bfx.encode(sym, config)
+    emax_h = np.asarray(emax).astype("<i2")
+    head = struct.pack(
+        _HDR, _MAGIC, d, mode, param, 0 if arr.dtype == np.float32 else 1
+    )
+    head += struct.pack("<%dQ" % d, *shape)
+    head += struct.pack("<Q", emax_h.shape[0])
+    return head + emax_h.tobytes() + payload
+
+
+def decompress_zfp(blob: bytes, offset: int = 0):
+    magic, d, mode, param, dt = struct.unpack_from(_HDR, blob, offset)
+    if magic != _MAGIC:
+        raise ValueError("not a zfp-tpu stream")
+    p = offset + struct.calcsize(_HDR)
+    shape = struct.unpack_from("<%dQ" % d, blob, p)
+    p += 8 * d
+    (nb,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    emax = np.frombuffer(blob, "<i2", nb, p).astype(np.int32)
+    p += 2 * nb
+    sym, used = bfx.decode(blob, p)
+    p += used
+    dtype = jnp.float32 if dt == 0 else jnp.float64
+    padded = _pad_shape(shape)
+    q = _Q[d]
+    if mode == MODE_ACCURACY:
+        budget = math.log2(max(param, 1e-300) / _AMP[d])
+        cut = np.clip(np.floor(budget - (emax - q)), 0, q + 8).astype(np.int32)
+    else:
+        cut = np.full(nb, max(0, q + 2 - int(param)), np.int32)
+    use_pallas = jax.default_backend() == "tpu"
+    out = _decode_core(
+        jnp.asarray(sym), jnp.asarray(emax), jnp.asarray(cut), d, padded,
+        dtype, use_pallas,
+    )
+    out = np.asarray(out)[tuple(slice(0, s) for s in shape)]
+    return out, p - offset
