@@ -82,6 +82,9 @@ class Metadata:
     # Types.h:85 - MGARD multigrid pipeline or the ZFP-style transform
     # compressor behind the same interface)
     ctype: compressor_type = compressor_type.MGARD
+    # Hybrid decomposition: number of local (blockwise 8^3) refactoring
+    # levels (reference: Config.num_local_refactoring_level)
+    nlocal: int = 0
 
     # region-of-interest adaptive bounds (ops/roi.py); the ROI mask itself
     # travels in the payload
@@ -126,7 +129,7 @@ class Metadata:
             int(self.block_delta_block_size),
         )
         body += struct.pack("<B", int(self.ptype))
-        body += struct.pack("<B", int(self.ctype))
+        body += struct.pack("<BB", int(self.ctype), int(self.nlocal))
         body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
 
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
@@ -211,9 +214,10 @@ class Metadata:
         (pt,) = struct.unpack_from("<B", body, p)
         p += 1
         m.ptype = processor_type(pt)
-        (ct,) = struct.unpack_from("<B", body, p)
-        p += 1
+        ct, nloc = struct.unpack_from("<BB", body, p)
+        p += 2
         m.ctype = compressor_type(ct)
+        m.nlocal = nloc
         roi_en, roi_f = struct.unpack_from("<Bd", body, p)
         p += 9
         m.roi_enabled = bool(roi_en)

@@ -160,6 +160,52 @@ def _decompress_core_sym(sym, quantizers, hier, orthogonal, s_inf, single_dim=Fa
 
 
 # ----------------------------------------------------------------------
+# Hybrid (blockwise 8^3 local + global remainder) cores
+# (reference: HybridHierarchyCompressor.hpp; see ops/hybrid.py)
+# ----------------------------------------------------------------------
+def _hybrid_quantizer(abs_tol: float, l_total: int) -> float:
+    # hierarchical s=inf rule with the hybrid level count
+    # (reference: LinearQuantization.hpp:234-298)
+    return 2.0 * abs_tol / (l_total + 1)
+
+
+@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier"))
+def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier):
+    from .ops import hybrid as Hy
+
+    pad = [(0, p - s) for s, p in zip(v.shape, padded)]
+    if any(p for _, p in pad):
+        v = jnp.pad(v, pad, mode="edge")
+    dec = Hy.local_decompose(v, nl)
+    rem = Hy.extract_remainder(dec, nl)
+    cf = jnp.where(Hy.corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec)
+    rem_dec = decompose(rem, rem_hier, orthogonal=False)
+    inv_q = (1.0 / q_scalar).astype(v.dtype)
+    half = jnp.asarray(0.5, v.dtype)
+
+    def quant(x):
+        t = x * inv_q
+        return jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+
+    return jnp.concatenate([quant(cf).ravel(), quant(rem_dec).ravel()])
+
+
+@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier"))
+def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier):
+    from .ops import hybrid as Hy
+
+    work = jnp.float64 if rem_hier.dtype == np.float64 else jnp.float32
+    n_cf = int(np.prod(padded))
+    q = q_scalar.astype(work)
+    cf = (sym[:n_cf].astype(work) * q).reshape(padded)
+    rem_dec = (sym[n_cf:].astype(work) * q).reshape(rem_hier.shape)
+    rem = recompose(rem_dec, rem_hier, orthogonal=False)
+    dec = Hy.insert_remainder(cf, rem.astype(work), nl)
+    out = Hy.local_recompose(dec, nl)
+    return out[tuple(slice(0, s) for s in shape)]
+
+
+# ----------------------------------------------------------------------
 # Payload helpers
 # ----------------------------------------------------------------------
 def _serialize_outliers(count: int, idx, val) -> bytes:
@@ -208,6 +254,25 @@ def _compress_subdomain(
     n = hier.total_num_elems
     cap = _outlier_cap(n, config)
     single_dim = config.decomposition == decomposition_type.SingleDim
+    if (
+        config.decomposition == decomposition_type.Hybrid
+        and s_inf
+        and _raw_symbol_backend(config.lossless)
+    ):
+        from .ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
+
+        nl = max(1, min(3, int(config.num_local_refactoring_level)))
+        padded = pad_to8(hier.shape)
+        rem_hier = get_hierarchy(remainder_shape(padded, nl), hier.dtype, None, config)
+        q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
+        sym = _compress_core_hybrid(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier
+        )
+        section = _serialize_outliers(
+            0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        )
+        section += lossless_compress(sym, config)
+        return section
     if _raw_symbol_backend(config.lossless):
         sym = _compress_core_sym(
             v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
@@ -377,6 +442,9 @@ def compress(
             huff_dict_size=config.huff_dict_size,
             huff_block_size=config.huff_block_size,
             block_delta_block_size=config.block_delta_block_size,
+            nlocal=max(1, min(3, int(config.num_local_refactoring_level)))
+            if config.decomposition == decomposition_type.Hybrid
+            else 0,
         )
         blob = meta.serialize() + payload
         t_total.end()
@@ -505,17 +573,53 @@ def decompress(
             pad_val[:m] = out_val
 
             qflat, used = lossless_decompress(blob, pos)
-            if int(qflat.shape[0]) != hier.total_num_elems:
+            expected = hier.total_num_elems
+            if (
+                meta.decomposition == decomposition_type.Hybrid
+                and s_inf
+                and _raw_symbol_backend(meta.ltype)
+            ):
+                from .ops.hybrid import pad_to8, remainder_shape
+
+                _nl = max(1, min(3, int(meta.nlocal) or 1))
+                _padded = pad_to8(hier.shape)
+                expected = int(np.prod(_padded)) + int(
+                    np.prod(remainder_shape(_padded, _nl))
+                )
+            if int(qflat.shape[0]) != expected:
                 raise FormatError(
                     f"subdomain {i}: payload has {int(qflat.shape[0])} symbols, "
-                    f"expected {hier.total_num_elems}"
+                    f"expected {expected}"
                 )
 
             quantizers = hier.quantizers(
                 local_tol, s, 0.0, error_bound_type.ABS, meta.decomposition, orthogonal
             )
             single_dim = meta.decomposition == decomposition_type.SingleDim
-            if _raw_symbol_backend(meta.ltype):
+            if (
+                meta.decomposition == decomposition_type.Hybrid
+                and s_inf
+                and _raw_symbol_backend(meta.ltype)
+            ):
+                from .ops.hybrid import (
+                    hybrid_l_total,
+                    pad_to8,
+                    remainder_shape,
+                )
+
+                nl = max(1, min(3, int(meta.nlocal) or 1))
+                padded = pad_to8(hier.shape)
+                rem_hier = get_hierarchy(
+                    remainder_shape(padded, nl), dtype, None, cfg
+                )
+                q = _hybrid_quantizer(
+                    local_tol, hybrid_l_total(padded, nl, rem_hier)
+                )
+                rec = _decompress_core_hybrid(
+                    qflat, jnp.asarray(q, dtype), hier.shape, padded, nl,
+                    rem_hier,
+                )
+            elif _raw_symbol_backend(meta.ltype):
                 rec = _decompress_core_sym(
                     qflat, jnp.asarray(quantizers), hier, orthogonal, s_inf,
                     single_dim, step_mult=roi_mults if meta.roi_enabled else None,
