@@ -61,7 +61,7 @@ class Config:
     max_memory_footprint: int = _UNLIMITED
 
     # --- pipelining / host buffers --------------------------------------
-    prefetch: bool = False
+    prefetch: bool = True
     auto_pin_host_buffers: bool = True
     auto_cache_release: bool = False
     cpu_mode: cpu_parallelization_mode = cpu_parallelization_mode.INTER_BLOCK

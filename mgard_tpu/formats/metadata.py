@@ -85,6 +85,10 @@ class Metadata:
     # Hybrid decomposition: number of local (blockwise 8^3) refactoring
     # levels (reference: Config.num_local_refactoring_level)
     nlocal: int = 0
+    # input shape was padded by ShapeAdjustment before compression
+    # (reference: CompressionHighLevel/ShapeAdjustment.hpp); the stored
+    # shape is the ORIGINAL, the adjusted one is recomputed
+    adjusted: bool = False
 
     # region-of-interest adaptive bounds (ops/roi.py); the ROI mask itself
     # travels in the payload
@@ -129,7 +133,10 @@ class Metadata:
             int(self.block_delta_block_size),
         )
         body += struct.pack("<B", int(self.ptype))
-        body += struct.pack("<BB", int(self.ctype), int(self.nlocal))
+        body += struct.pack(
+            "<BBB", int(self.ctype), int(self.nlocal),
+            1 if self.adjusted else 0,
+        )
         body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
 
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
@@ -214,10 +221,11 @@ class Metadata:
         (pt,) = struct.unpack_from("<B", body, p)
         p += 1
         m.ptype = processor_type(pt)
-        ct, nloc = struct.unpack_from("<BB", body, p)
-        p += 2
+        ct, nloc, adj = struct.unpack_from("<BBB", body, p)
+        p += 3
         m.ctype = compressor_type(ct)
         m.nlocal = nloc
+        m.adjusted = bool(adj)
         roi_en, roi_f = struct.unpack_from("<Bd", body, p)
         p += 9
         m.roi_enabled = bool(roi_en)

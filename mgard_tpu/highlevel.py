@@ -54,6 +54,27 @@ from .ops.refactor import (
 )
 
 
+def adjust_shape(shape):
+    """ShapeAdjustment (reference: CompressionHighLevel/
+    ShapeAdjustment.hpp:43): pad each axis to a hierarchy-friendly size.
+    Rule: the next 2^k+1 when that costs <= 12.5% growth (perfect dyadic
+    chains), else the next multiple of 8 (keeps the hybrid/BFX tiling
+    aligned). Padding uses edge values; the original shape is recorded in
+    the header and restored on decompression."""
+    out = []
+    for n in shape:
+        if n <= 3:
+            out.append(n)
+            continue
+        k = (n - 2).bit_length()
+        dyadic = (1 << k) + 1
+        if dyadic >= n and dyadic <= int(n * 1.125) + 1:
+            out.append(dyadic)
+        else:
+            out.append((n + 7) // 8 * 8)
+    return tuple(out)
+
+
 def infer_orthogonal_projection(s: float) -> bool:
     """Hierarchical fast path for L-infinity bounds (reference:
     Compressor.hpp:229-236): s == inf skips the mass-matrix correction and
@@ -235,6 +256,86 @@ def _deserialize_outliers(data: bytes, offset: int):
 # ----------------------------------------------------------------------
 # Public API
 # ----------------------------------------------------------------------
+_EMPTY_OUTLIERS = None
+
+
+def _empty_outliers() -> bytes:
+    global _EMPTY_OUTLIERS
+    if _EMPTY_OUTLIERS is None:
+        _EMPTY_OUTLIERS = _serialize_outliers(
+            0, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        )
+    return _EMPTY_OUTLIERS
+
+
+def _dispatch_subdomain(
+    v,
+    hier: Hierarchy,
+    config: Config,
+    abs_tol: float,
+    s: float,
+    orthogonal: bool,
+    prep: bool,
+):
+    """Device phase: dispatch the subdomain's whole device pipeline with NO
+    host synchronization, returning an opaque state for
+    _serialize_subdomain. The caller overlaps subdomain i+1's dispatch with
+    subdomain i's serialization - the role of the reference's
+    double-buffered GPU pipeline (GPUPipelines.hpp:70-160), using XLA's
+    async dispatch instead of explicit queues."""
+    s_inf = math.isinf(s)
+    quantizers = hier.quantizers(
+        abs_tol, s, 0.0, error_bound_type.ABS, config.decomposition, orthogonal
+    )
+    single_dim = config.decomposition == decomposition_type.SingleDim
+    raw = _raw_symbol_backend(config.lossless)
+    if config.decomposition == decomposition_type.Hybrid and s_inf and raw:
+        from .lossless import bfx
+        from .ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
+
+        nl = max(1, min(3, int(config.num_local_refactoring_level)))
+        padded = pad_to8(hier.shape)
+        rem_hier = get_hierarchy(
+            remainder_shape(padded, nl), hier.dtype, None, config
+        )
+        q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
+        sym = _compress_core_hybrid(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier
+        )
+        return ("bfx", bfx.encode_device(sym))
+    if raw:
+        from .lossless import bfx
+
+        sym = _compress_core_sym(
+            v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
+        )
+        return ("bfx", bfx.encode_device(sym.ravel()))
+    return ("generic", v, hier, quantizers, single_dim)
+
+
+def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
+                         orthogonal: bool, prep: bool) -> bytes:
+    """Host phase: sync the dispatched state and build the payload bytes."""
+    if state[0] == "bfx":
+        from .lossless import bfx
+        from .lossless.registry import _HDR as _LHDR
+
+        inner = bfx.serialize_device(state[1])
+        if config.lossless == lossless_type.BFX_Zstd:
+            from .lossless import host as _host
+
+            inner = _host.zstd_compress(inner, config.zstd_compress_level)
+        return (
+            _empty_outliers()
+            + struct.pack(_LHDR, int(config.lossless), len(inner))
+            + inner
+        )
+    _, v, hier, quantizers, single_dim = state
+    return _compress_subdomain_generic(
+        v, hier, config, quantizers, s, orthogonal, prep, single_dim
+    )
+
+
 def _compress_subdomain(
     v,
     hier: Hierarchy,
@@ -247,41 +348,23 @@ def _compress_subdomain(
     """Compress one device-resident subdomain to a payload section
     (outliers + lossless stage). Plays the role of Compressor::Compress
     (reference: Compressor.hpp:205-252) for one DomainDecomposer subdomain."""
+    state = _dispatch_subdomain(v, hier, config, abs_tol, s, orthogonal, prep)
+    return _serialize_subdomain(state, config, abs_tol, s, orthogonal, prep)
+
+
+def _compress_subdomain_generic(
+    v,
+    hier: Hierarchy,
+    config: Config,
+    quantizers,
+    s: float,
+    orthogonal: bool,
+    prep: bool,
+    single_dim: bool,
+) -> bytes:
     s_inf = math.isinf(s)
-    quantizers = hier.quantizers(
-        abs_tol, s, 0.0, error_bound_type.ABS, config.decomposition, orthogonal
-    )
     n = hier.total_num_elems
     cap = _outlier_cap(n, config)
-    single_dim = config.decomposition == decomposition_type.SingleDim
-    if (
-        config.decomposition == decomposition_type.Hybrid
-        and s_inf
-        and _raw_symbol_backend(config.lossless)
-    ):
-        from .ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
-
-        nl = max(1, min(3, int(config.num_local_refactoring_level)))
-        padded = pad_to8(hier.shape)
-        rem_hier = get_hierarchy(remainder_shape(padded, nl), hier.dtype, None, config)
-        q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
-        sym = _compress_core_hybrid(
-            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier
-        )
-        section = _serialize_outliers(
-            0, np.zeros(0, np.int64), np.zeros(0, np.int64)
-        )
-        section += lossless_compress(sym, config)
-        return section
-    if _raw_symbol_backend(config.lossless):
-        sym = _compress_core_sym(
-            v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
-        )
-        section = _serialize_outliers(
-            0, np.zeros(0, np.int64), np.zeros(0, np.int64)
-        )
-        section += lossless_compress(sym.ravel(), config)
-        return section
     qres = _compress_core(
         v, jnp.asarray(quantizers), hier, orthogonal, prep,
         int(config.huff_dict_size), cap, s_inf, single_dim,
@@ -342,7 +425,18 @@ def compress(
         if config.compressor == compressor_type.ZFP:
             return _compress_zfp_path(arr, tol, s, mode, config, dt, shape)
 
-        dd = DomainDecomposer(shape, arr.dtype, config)
+        adjusted = False
+        if config.adjust_shape and coords is None:
+            new_shape = adjust_shape(shape)
+            if new_shape != shape:
+                arr = np.pad(
+                    np.asarray(arr),
+                    [(0, a - b) for b, a in zip(shape, new_shape)],
+                    mode="edge",
+                )
+                adjusted = True
+
+        dd = DomainDecomposer(arr.shape, arr.dtype, config)
         S = dd.num_subdomains
 
         # Global norm (REL): max / sum-of-squares over subdomains
@@ -381,15 +475,34 @@ def compress(
         coords_list = (
             [np.asarray(c, np.float64) for c in coords] if coords is not None else None
         )
-        for i in range(S):
+        # Double-buffered subdomain overlap (reference: GPUPipelines.hpp
+        # prefetch of subdomain i+1 while i compresses): dispatch the next
+        # subdomain's device pipeline before serializing (syncing) the
+        # current one. config.prefetch gates the overlap.
+        depth = 2 if (config.prefetch and S > 1) else 1
+        pending = []
+
+        def dispatch(i):
             sls = dd.subdomain_slices(i)
             sub_coords = (
                 [c[sl] for c, sl in zip(coords_list, sls)] if coords_list else None
             )
             hier = get_hierarchy(dd.subdomain_shape(i), arr.dtype, sub_coords, config)
             v = jnp.asarray(arr[sls]) if not isinstance(arr, jax.Array) else arr[sls]
+            return _dispatch_subdomain(
+                v, hier, config, local_tol, s, orthogonal, prep
+            )
+
+        for i in range(min(depth, S)):
+            pending.append(dispatch(i))
+        nxt = len(pending)
+        for i in range(S):
+            state = pending.pop(0)
+            if nxt < S:
+                pending.append(dispatch(nxt))
+                nxt += 1
             sections.append(
-                _compress_subdomain(v, hier, config, local_tol, s, orthogonal, prep)
+                _serialize_subdomain(state, config, local_tol, s, orthogonal, prep)
             )
         t_comp.end()
         t_comp.print("decompose+quantize+lossless",
@@ -445,6 +558,7 @@ def compress(
             nlocal=max(1, min(3, int(config.num_local_refactoring_level)))
             if config.decomposition == decomposition_type.Hybrid
             else 0,
+            adjusted=adjusted,
         )
         blob = meta.serialize() + payload
         t_total.end()
@@ -531,11 +645,12 @@ def decompress(
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(cfg)
 
-        dd = DomainDecomposer.from_metadata(shape, dtype, meta, cfg)
+        work_shape = adjust_shape(shape) if meta.adjusted else shape
+        dd = DomainDecomposer.from_metadata(work_shape, dtype, meta, cfg)
         S = dd.num_subdomains
         local_tol = calc_local_abs_tol(meta.ebtype, meta.norm, meta.tol, s, S)
 
-        out = np.empty(shape, dtype)
+        out = np.empty(work_shape, dtype)
         coords_list = meta.coords
         roi_mults = None
         for i in range(S):
@@ -645,6 +760,8 @@ def decompress(
                 )
             out[sls] = np.asarray(rec)
             off = sec_end
+        if meta.adjusted:
+            out = out[tuple(slice(0, s) for s in shape)]
         t_total.end()
         t_total.print("decompress total", out.nbytes)
         return out, compress_status_type.Success

@@ -389,10 +389,12 @@ def _pad_to(n: int, sb_blocks: int) -> int:
     return (n + q - 1) // q * q
 
 
-def encode(symbols, config=None) -> bytes:
+def encode_device(symbols):
+    """Device phase of encode(): dispatches the jitted pack with NO host
+    synchronization; returns an opaque state for serialize_device()."""
     n = int(symbols.shape[0])
     if n == 0:
-        return struct.pack(_HDR, _MAGIC, 0, 0, SB_BLOCKS_SMALL, 0)
+        return ("empty", n)
     sb_blocks = _choose_sb(n)
     npad = _pad_to(n, sb_blocks)
     sym = jnp.asarray(symbols).astype(jnp.int32).ravel()
@@ -401,6 +403,14 @@ def encode(symbols, config=None) -> bytes:
     use_pallas = _use_pallas()
     align = ALIGN if use_pallas else 1
     flat2d, w, total = encode_core(sym, sb_blocks, use_pallas, align)
+    return ("bfx", n, sb_blocks, align, flat2d, w, total)
+
+
+def serialize_device(state) -> bytes:
+    """Host phase of encode(): sync + serialize a dispatched state."""
+    if state[0] == "empty":
+        return struct.pack(_HDR, _MAGIC, 0, 0, SB_BLOCKS_SMALL, 0)
+    _, n, sb_blocks, align, flat2d, w, total = state
     total_i = int(total)
     from .huffman import device_get_prefix
 
@@ -408,6 +418,10 @@ def encode(symbols, config=None) -> bytes:
     widths_h = np.asarray(w).astype(np.uint8)
     head = struct.pack(_HDR, _MAGIC, n, total_i, sb_blocks, align)
     return head + widths_h.tobytes() + words_h.tobytes()
+
+
+def encode(symbols, config=None) -> bytes:
+    return serialize_device(encode_device(symbols))
 
 
 def decode(data: bytes, offset: int = 0):

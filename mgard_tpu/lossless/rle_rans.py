@@ -49,19 +49,18 @@ def encode(symbols, config) -> bytes:
     vals_h = device_get_prefix(vals, count).astype(np.int32)
 
     # runs of zeros before each literal; long runs split with synthetic
-    # zero literals so run values stay < MAX_RUN + 1
+    # zero literals so run values stay < MAX_RUN + 1. Fully vectorized:
+    # literal i is preceded by k_i = runs_i // (MAX_RUN+1) synthetic
+    # (MAX_RUN, zero) pairs and lands at position cumsum(k+1)-1.
     prev = np.concatenate([[-1], idx_h[:-1]])
     runs = (idx_h - prev - 1).astype(np.int64)
-    out_runs, out_vals = [], []
-    for r, v in zip(runs, vals_h):
-        while r > MAX_RUN:
-            out_runs.append(MAX_RUN)
-            out_vals.append(zero)
-            r -= MAX_RUN + 1
-        out_runs.append(int(r))
-        out_vals.append(int(v))
-    out_runs = np.asarray(out_runs, np.int32)
-    out_vals = np.asarray(out_vals, np.int32)
+    k = runs // (MAX_RUN + 1)
+    total = int(count + k.sum())
+    out_runs = np.full(total, MAX_RUN, np.int32)
+    out_vals = np.full(total, zero, np.int32)
+    pos = (np.cumsum(k + 1) - 1).astype(np.int64)
+    out_runs[pos] = (runs - k * (MAX_RUN + 1)).astype(np.int32)
+    out_vals[pos] = vals_h
 
     if out_runs.size:
         runs_blob = rans.encode(jnp.asarray(out_runs), MAX_RUN + 1, config.huff_block_size)

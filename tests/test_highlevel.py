@@ -146,3 +146,21 @@ def test_roi_compression():
     assert np.max(np.abs(out - v)) <= tol
     fine, _ = compress(v, tol=tol / factor)
     assert len(blob) < len(fine)
+
+
+def test_adjust_shape_roundtrip():
+    """ShapeAdjustment: padded compression restores the original shape and
+    still meets the bound (reference: ShapeAdjustment.hpp)."""
+    import math
+
+    from mgard_tpu import Config
+
+    v = smooth_field((30, 61, 7)).astype(np.float32)
+    cfg = Config()
+    cfg.adjust_shape = True
+    blob, st = compress(v, tol=1e-2, s=math.inf, config=cfg)
+    assert st == compress_status_type.Success
+    out, st2 = decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert out.shape == v.shape
+    assert float(np.max(np.abs(out - v))) <= 1e-2
