@@ -65,3 +65,31 @@ def test_mdr_vtot_qoi():
     assert actual <= tol, f"QoI actual err {actual} > {tol}"
     # joint planning retrieves fewer planes for some variables than full
     assert any(c < 12 for counts_v in counts for c in counts_v)
+
+
+def test_multilevel_qoi_beats_holder():
+    """The multilevel (quantizer-structure) QoI bound must derive a
+    measurably larger data tolerance than the global Hoelder dual on the
+    average functional, while still preserving the QoI."""
+    import numpy as np
+
+    from mgard_tpu.qoi import TensorQuantityOfInterest, compress_qoi
+    import mgard_tpu
+
+    shape = (33, 33)
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(shape).astype(np.float32)
+    w = np.full(shape, 1.0 / v.size)  # average functional
+    qoi = TensorQuantityOfInterest(w)
+    qtol = 1e-4
+    # measured gains: ~7.6x for the RMS-normed path, ~1.3x for L-inf
+    for s, min_gain in ((float("inf"), 1.1), (0.0, 2.0)):
+        blob_m, st_m, tol_m = compress_qoi(v, qoi, qtol, s=s, method="multilevel")
+        blob_h, st_h, tol_h = compress_qoi(v, qoi, qtol, s=s, method="holder")
+        assert int(st_m) == 0 and int(st_h) == 0
+        assert tol_m > min_gain * tol_h, (s, tol_m, tol_h)
+        out, _ = mgard_tpu.decompress(blob_m)
+        assert abs(qoi(out) - qoi(v)) <= qtol
+        if s == 0.0:
+            # the looser data tolerance must pay off in blob size
+            assert len(blob_m) <= len(blob_h)
