@@ -15,7 +15,6 @@ from .dtypes import (
     bitplane_encoding_type,
     block_delta_mode_type,
     compressor_type,
-    cpu_parallelization_mode,
     decomposition_type,
     domain_decomposition_type,
     lossless_type,
@@ -45,7 +44,6 @@ class Config:
     huff_block_size: int = 1024
     block_delta_block_size: int = 256
     block_delta_mode: block_delta_mode_type = block_delta_mode_type.Delta
-    lz4_block_size: int = 1 << 15
     zstd_compress_level: int = 3
 
     # --- hierarchy / shape handling ------------------------------------
@@ -60,16 +58,16 @@ class Config:
     domain_decomposition_sizes: Sequence[int] = dataclasses.field(default_factory=list)
     max_memory_footprint: int = _UNLIMITED
 
-    # --- pipelining / host buffers --------------------------------------
+    # --- pipelining ------------------------------------------------------
+    # Overlap subdomain i+1's device dispatch with subdomain i's host
+    # serialization (reference: GPUPipelines.hpp double buffering).
+    # (The reference's auto_pin_host_buffers / cpu_mode knobs have no TPU
+    # meaning: JAX owns host staging and XLA owns host threading.)
     prefetch: bool = True
-    auto_pin_host_buffers: bool = True
-    auto_cache_release: bool = False
-    cpu_mode: cpu_parallelization_mode = cpu_parallelization_mode.INTER_BLOCK
 
     # --- MDR -------------------------------------------------------------
     total_num_bitplanes: int = 32
     block_size: int = 256
-    mdr_adaptive_resolution: bool = False
     mdr_qoi_mode: bool = False
     mdr_qoi_num_variables: int = 3
     # Bitplane encoding: SignMagnitude (sign plane + magnitude planes) or
@@ -88,7 +86,6 @@ class Config:
     num_local_refactoring_level: int = 1
 
     # --- misc -------------------------------------------------------------
-    compress_with_dryrun: bool = False
     log_level: int = 0
 
     # --- TPU-native additions ----------------------------------------------

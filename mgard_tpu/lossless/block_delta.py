@@ -39,8 +39,8 @@ def _unzigzag(z):
     return (z >> 1) ^ -(z & 1)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def encode_kernel(symbols, B: int):
+@partial(jax.jit, static_argnums=(1, 2))
+def encode_kernel(symbols, B: int, force_fixed: bool = False):
     """symbols: (N,) int32 (N multiple of B). Returns
     (planes (nb*32, B//LANES) uint32 padded, widths (nb,) uint8 incl mode bit,
     plane_counts (nb,), condensed words (nb*32*B//LANES,), total_words)."""
@@ -61,7 +61,13 @@ def encode_kernel(symbols, B: int):
 
     w_delta = width_of(z_delta)
     w_fixed = width_of(z_fixed)
-    use_fixed = (w_delta > 32) | (w_fixed < w_delta)
+    # config.block_delta_mode Fixed forces the fixed representation
+    # (reference: block_delta_mode_type, Utilities/Types.h:54-58); the
+    # adaptive default picks the narrower of delta/fixed per block
+    if force_fixed:
+        use_fixed = jnp.ones(w_delta.shape, bool)
+    else:
+        use_fixed = (w_delta > 32) | (w_fixed < w_delta)
     w = jnp.where(use_fixed, w_fixed, w_delta).astype(jnp.int32)
     z = jnp.where(use_fixed[:, None], z_fixed, z_delta).astype(jnp.uint32)
 
@@ -139,7 +145,13 @@ def encode(symbols, config) -> bytes:
     sym = symbols.astype(jnp.int32).ravel()
     if pad:
         sym = jnp.concatenate([sym, jnp.zeros((pad,), jnp.int32)])
-    words, mode_w, total = encode_kernel(sym, B)
+    from ..dtypes import block_delta_mode_type
+
+    force_fixed = (
+        getattr(config, "block_delta_mode", block_delta_mode_type.Delta)
+        == block_delta_mode_type.Fixed
+    )
+    words, mode_w, total = encode_kernel(sym, B, force_fixed)
     total_i = int(total)
     from .huffman import device_get_prefix
 

@@ -100,6 +100,60 @@ def main(argv=None):
             print(msg)
         if out is not None:
             out.tofile(outfile)
+    elif "-qoi" in argv or "--qoi-reconstruct" in argv:
+        # reference: mdr-x-qoi / pmdr-x-qoi executables (QoI-driven
+        # retrieval over multiple refactored variables). The number of
+        # variables honors Config.mdr_qoi_num_variables when fewer inputs
+        # are listed than configured.
+        from .qoi import MDReconstructQoI, VTotQoI, plan_joint_retrieval
+
+        cfg = Config()
+        cfg.mdr_qoi_mode = True
+        i = argv.index("-i")
+        paths = []
+        for a in argv[i + 1 :]:
+            if a.startswith("-"):
+                break
+            paths.append(a)
+        paths = paths[: cfg.mdr_qoi_num_variables] if len(
+            paths
+        ) > cfg.mdr_qoi_num_variables else paths
+        qoi_tol = float(get("-e"))
+        metas, hdrs = [], []
+        for pth in paths:
+            m, h = read_mdr_metadata(pth)
+            metas.append(m)
+            hdrs.append(h)
+        plans = plan_joint_retrieval(metas, qoi_tol)
+        fetched = sum(
+            retrieve_size(m, c) for m, c in zip(metas, plans)
+        )
+        datas = [
+            read_mdr_planes(pth, m, c, h)
+            for pth, m, c, h in zip(paths, metas, plans, hdrs)
+        ]
+        _vars, vtot, _bound, used = MDReconstructQoI(metas, datas, qoi_tol)
+        print(f"[info] qoi_tol={qoi_tol:.3e} vars={len(paths)} planes={used} "
+              f"fetched~{fetched} bytes")
+        gi = argv.index("-g") if "-g" in argv else -1
+        if gi >= 0:
+            origs = []
+            for a in argv[gi + 1 :]:
+                if a.startswith("-"):
+                    break
+                origs.append(a)
+            from ..dtypes import np_dtype as _npdt
+
+            q = VTotQoI()
+            odt = _npdt(metas[0].dtype)
+            vs = [
+                np.fromfile(pp, dtype=odt)[: vtot.size].reshape(vtot.shape)
+                for pp in origs
+            ]
+            err = float(np.max(np.abs(q.eval(vs) - vtot)))
+            print(f"[info] actual V_TOT Linf error {err:.3e} "
+                  f"({'OK' if err <= qoi_tol else 'MISS'})")
+        vtot.astype(np.float32).tofile(outfile)
     else:
         print_usage("need -z or -x")
 
