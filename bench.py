@@ -1,7 +1,9 @@
 """Benchmark: end-to-end device compression+decompression throughput.
 
-Config: 512^3 float32 smooth field, abs eb=1e-3, s=inf, MultiDim transform,
-BFX lossless (this framework's TPU-native default; see Config.lossless).
+Config: 512^3 float32 smooth field, abs eb=1e-3, s=inf, Hybrid transform
+(blockwise 8^3 local levels fused in one Pallas pass + global remainder;
+reference HybridHierarchyCompressor), BFX lossless (the TPU-native
+default; see Config.lossless).
 Matches the reference's own throughput-timer semantics (Timer around
 Compressor::Compress/Decompress, device arrays in and out —
 reference: CompressionLowLevel/Compressor.hpp:205-289): the timed region is
@@ -59,40 +61,42 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     import jax.numpy as jnp
 
     import mgard_tpu
-    from mgard_tpu.dtypes import error_bound_type
+    import mgard_tpu.highlevel as H
     from mgard_tpu.hierarchy import get_hierarchy
     from mgard_tpu.lossless import bfx
-    from mgard_tpu.ops import quantize as Q
-    from mgard_tpu.ops.refactor import decompose, recompose
+    from mgard_tpu.ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
 
     on_tpu = jax.default_backend() == "tpu"
-    hier = get_hierarchy((n, n, n), np.float32)
+    shape = (n, n, n)
+    nl = 3
+    padded = pad_to8(shape)
+    cfg = mgard_tpu.Config()
+    rem_hier = get_hierarchy(remainder_shape(padded, nl), np.float32, None, cfg)
+    q = H._hybrid_quantizer(tol, hybrid_l_total(padded, nl, rem_hier))
+    fused = H._hybrid_fused_ok(padded, np.float32)
     v = make_field(n)
     nbytes = n * n * n * 4
     N = n * n * n
+    Ntot = N + int(np.prod(rem_hier.shape))
     sb = bfx.SB_BLOCKS if on_tpu else bfx.SB_BLOCKS_SMALL
     align = bfx.ALIGN if on_tpu else 1
-    npad = (N + sb * 32 - 1) // (sb * 32) * (sb * 32)
+    npad = (Ntot + sb * 32 - 1) // (sb * 32) * (sb * 32)
 
-    quant = jnp.asarray(
-        hier.quantizers(tol, math.inf, 0.0, error_bound_type.ABS,
-                        orthogonal_projection=False)
-    )
+    quant = jnp.asarray(q, jnp.float32)
 
     @jax.jit
     def compress_fn(v, quant):
-        dec = decompose(v, hier, orthogonal=False)
-        sym = Q.quantize_symbols(dec, hier, quant, True)
-        symf = sym.ravel()
-        if npad != N:
-            symf = jnp.concatenate([symf, jnp.zeros(npad - N, jnp.int32)])
-        return bfx.encode_core(symf, sb, on_tpu, align)
+        sym = H._compress_core_hybrid(v, quant, padded, nl, rem_hier, fused)
+        if npad != Ntot:
+            sym = jnp.concatenate([sym, jnp.zeros(npad - Ntot, jnp.int32)])
+        return bfx.encode_core(sym, sb, on_tpu, align)
 
     @jax.jit
     def decompress_fn(flat2d, widths, quant):
-        sym = bfx.decode_core(flat2d, widths, sb, on_tpu, align)[:N]
-        dec = Q.dequantize_symbols(sym, hier, quant, True)
-        return recompose(dec, hier, orthogonal=False)
+        sym = bfx.decode_core(flat2d, widths, sb, on_tpu, align)[:Ntot]
+        return H._decompress_core_hybrid(
+            sym, quant, shape, padded, nl, rem_hier, fused
+        )
 
     # ---- compile + correctness
     t0 = time.time()
@@ -145,7 +149,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
 
     value = 2 * nbytes / (t_c + t_d) / 1e9
     result = {
-        "metric": f"device compress+decompress throughput, {n}^3 f32, eb=1e-3, BFX",
+        "metric": f"device compress+decompress throughput, {n}^3 f32, eb=1e-3, Hybrid+BFX",
         "value": round(value, 3),
         "unit": "GB/s",
         "vs_baseline": round(value / 50.0, 4),

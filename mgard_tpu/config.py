@@ -95,3 +95,14 @@ class Config:
     outlier_capacity_ratio: float = 1.0 / 64.0
     # Name of the mesh axis subdomains are sharded over (parallel pipeline).
     mesh_axis: str = "subdomain"
+    # BFX superblock size in 32-symbol blocks (None = platform default;
+    # set by utils.autotuner.apply_autotune from the persistent table).
+    bfx_sb_blocks: Optional[int] = None
+
+    def apply_autotune(self, shape, dtype):
+        """Overwrite tunable knobs from the persistent autotuner table
+        (reference: AutoTuner.h profiled tables + rebuild)."""
+        from .utils.autotuner import apply_autotune
+
+        apply_autotune(self, shape, dtype)
+        return self

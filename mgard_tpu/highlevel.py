@@ -184,23 +184,29 @@ def _decompress_core_sym(sym, quantizers, hier, orthogonal, s_inf, single_dim=Fa
 # Hybrid (blockwise 8^3 local + global remainder) cores
 # (reference: HybridHierarchyCompressor.hpp; see ops/hybrid.py)
 # ----------------------------------------------------------------------
+def _hybrid_fused_ok(padded, dtype) -> bool:
+    from .ops.hybrid import _tile_shape
+
+    return (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and _tile_shape(padded) is not None
+    )
+
+
 def _hybrid_quantizer(abs_tol: float, l_total: int) -> float:
     # hierarchical s=inf rule with the hybrid level count
     # (reference: LinearQuantization.hpp:234-298)
     return 2.0 * abs_tol / (l_total + 1)
 
 
-@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier"))
-def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier):
+@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "fused"))
+def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier, fused=False):
     from .ops import hybrid as Hy
 
     pad = [(0, p - s) for s, p in zip(v.shape, padded)]
     if any(p for _, p in pad):
         v = jnp.pad(v, pad, mode="edge")
-    dec = Hy.local_decompose(v, nl)
-    rem = Hy.extract_remainder(dec, nl)
-    cf = jnp.where(Hy.corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec)
-    rem_dec = decompose(rem, rem_hier, orthogonal=False)
     inv_q = (1.0 / q_scalar).astype(v.dtype)
     half = jnp.asarray(0.5, v.dtype)
 
@@ -208,19 +214,33 @@ def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier):
         t = x * inv_q
         return jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
 
+    if fused:
+        # one-pass Pallas kernel: local transform + corner split + quantize
+        sym_cf, rem = Hy.local_transform_fused(v, inv_q, nl)
+        rem_dec = decompose(rem, rem_hier, orthogonal=False)
+        return jnp.concatenate([sym_cf.ravel(), quant(rem_dec).ravel()])
+    dec = Hy.local_decompose(v, nl)
+    rem = Hy.extract_remainder(dec, nl)
+    cf = jnp.where(Hy.corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec)
+    rem_dec = decompose(rem, rem_hier, orthogonal=False)
     return jnp.concatenate([quant(cf).ravel(), quant(rem_dec).ravel()])
 
 
-@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier"))
-def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier):
+@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier", "fused"))
+def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier, fused=False):
     from .ops import hybrid as Hy
 
     work = jnp.float64 if rem_hier.dtype == np.float64 else jnp.float32
     n_cf = int(np.prod(padded))
     q = q_scalar.astype(work)
-    cf = (sym[:n_cf].astype(work) * q).reshape(padded)
     rem_dec = (sym[n_cf:].astype(work) * q).reshape(rem_hier.shape)
     rem = recompose(rem_dec, rem_hier, orthogonal=False)
+    if fused:
+        out = Hy.local_inverse_fused(
+            sym[:n_cf].reshape(padded), rem.astype(work), q, nl, work
+        )
+        return out[tuple(slice(0, s) for s in shape)]
+    cf = (sym[:n_cf].astype(work) * q).reshape(padded)
     dec = Hy.insert_remainder(cf, rem.astype(work), nl)
     out = Hy.local_recompose(dec, nl)
     return out[tuple(slice(0, s) for s in shape)]
@@ -300,16 +320,20 @@ def _dispatch_subdomain(
         )
         q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
         sym = _compress_core_hybrid(
-            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
+            fused=_hybrid_fused_ok(padded, hier.dtype),
         )
-        return ("bfx", bfx.encode_device(sym))
+        return ("bfx", bfx.encode_device(sym, getattr(config, "bfx_sb_blocks", None)))
     if raw:
         from .lossless import bfx
 
         sym = _compress_core_sym(
             v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
         )
-        return ("bfx", bfx.encode_device(sym.ravel()))
+        return (
+            "bfx",
+            bfx.encode_device(sym.ravel(), getattr(config, "bfx_sb_blocks", None)),
+        )
     return ("generic", v, hier, quantizers, single_dim)
 
 
@@ -732,7 +756,7 @@ def decompress(
                 )
                 rec = _decompress_core_hybrid(
                     qflat, jnp.asarray(q, dtype), hier.shape, padded, nl,
-                    rem_hier,
+                    rem_hier, fused=_hybrid_fused_ok(padded, dtype),
                 )
             elif _raw_symbol_backend(meta.ltype):
                 rec = _decompress_core_sym(

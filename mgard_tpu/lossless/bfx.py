@@ -380,7 +380,9 @@ def decode_core(flat2d, widths, sb_blocks: int, use_pallas: bool, align: int = A
 # ----------------------------------------------------------------------
 # Bytes-level API (registry backend)
 # ----------------------------------------------------------------------
-def _choose_sb(n: int) -> int:
+def _choose_sb(n: int, override=None) -> int:
+    if override and n >= override * BS:
+        return int(override)
     return SB_BLOCKS if n >= SB_BLOCKS * BS and _use_pallas() else SB_BLOCKS_SMALL
 
 
@@ -389,13 +391,13 @@ def _pad_to(n: int, sb_blocks: int) -> int:
     return (n + q - 1) // q * q
 
 
-def encode_device(symbols):
+def encode_device(symbols, sb_blocks=None):
     """Device phase of encode(): dispatches the jitted pack with NO host
     synchronization; returns an opaque state for serialize_device()."""
     n = int(symbols.shape[0])
     if n == 0:
         return ("empty", n)
-    sb_blocks = _choose_sb(n)
+    sb_blocks = _choose_sb(n, sb_blocks)
     npad = _pad_to(n, sb_blocks)
     sym = jnp.asarray(symbols).astype(jnp.int32).ravel()
     if npad != n:
@@ -421,7 +423,8 @@ def serialize_device(state) -> bytes:
 
 
 def encode(symbols, config=None) -> bytes:
-    return serialize_device(encode_device(symbols))
+    sb = getattr(config, "bfx_sb_blocks", None) if config is not None else None
+    return serialize_device(encode_device(symbols, sb))
 
 
 def decode(data: bytes, offset: int = 0):

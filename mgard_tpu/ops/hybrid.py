@@ -78,60 +78,54 @@ for _classes in _LEVEL_CLASSES:
     )
 
 
-def _axis_tables(n: int, lvl: int, dtype):
-    """Full-length periodic weight/mask tables for one local level, one
-    entry per (offset, weight) class (positions sharing a stencil share one
-    roll pair)."""
-    out = []
-    for off_l, off_r, t, positions in _LEVEL_GROUPS[lvl]:
-        mask = np.zeros(n, bool)
-        for p in positions:
-            mask[p::8] = True
-        out.append((off_l, off_r, float(1.0 - t), float(t), mask))
-    return out
-
-
-def _grid_mask(n: int, lvl: int):
-    """Positions present in the local level-lvl grid (period 8)."""
-    m = np.zeros(n, bool)
-    for p in _CHAINS[lvl]:
-        m[p::8] = True
-    return m
-
-
 def _bshape(ndim, axis, n):
     s = [1] * ndim
     s[axis] = n
     return tuple(s)
 
 
+def _pos_mask(shape, axis, positions):
+    """Periodic position mask computed in-graph from an iota (no captured
+    array constants, so the same code runs inside Pallas kernels)."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = jax.lax.broadcasted_iota(
+        jnp.int32, _bshape(len(shape), axis, shape[axis]), axis
+    )
+    # keep everything int32: a python-int operand promotes to i64 under
+    # jax_enable_x64 and Mosaic cannot lower 64-bit converts
+    r = jax.lax.rem(idx, jnp.int32(8))
+    m = r == jnp.int32(positions[0])
+    for p in positions[1:]:
+        m = m | (r == jnp.int32(p))
+    return m
+
+
 def _interp_pass(x, axis, lvl, dtype):
     import jax.numpy as jnp
 
-    n = x.shape[axis]
-    for off_l, off_r, wl, wr, mask in _axis_tables(n, lvl, dtype):
-        bs = _bshape(x.ndim, axis, n)
-        cand = jnp.asarray(np.asarray(wl, dtype)) * jnp.roll(x, off_l, axis) + \
-            jnp.asarray(np.asarray(wr, dtype)) * jnp.roll(x, -off_r, axis)
-        x = jnp.where(jnp.asarray(mask).reshape(bs), cand, x)
+    npdt = np.dtype(x.dtype).type
+    for off_l, off_r, t, positions in _LEVEL_GROUPS[lvl]:
+        # typed numpy scalars: under jax_enable_x64 a python float would
+        # trace as f64, which Mosaic cannot convert inside a kernel
+        wl = npdt(1.0 - t)
+        wr = npdt(t)
+        cand = wl * jnp.roll(x, off_l, axis) + wr * jnp.roll(x, -off_r, axis)
+        x = jnp.where(_pos_mask(x.shape, axis, positions), cand, x)
     return x
 
 
 def _coeff_mask3d(shape, lvl):
     """Level-lvl coefficient mask: in the level grid on every axis and fine
     on at least one axis."""
-    import jax.numpy as jnp
-
     D = len(shape)
+    fine_pos = tuple(p for p, _, _, _ in _LEVEL_CLASSES[lvl])
     in_grid = None
     any_fine = None
-    for d, n in enumerate(shape):
-        g = _grid_mask(n, lvl)
-        f = np.zeros(n, bool)
-        for p, _, _, _ in _LEVEL_CLASSES[lvl]:
-            f[p::8] = True
-        gb = jnp.asarray(g).reshape(_bshape(D, d, n))
-        fb = jnp.asarray(f).reshape(_bshape(D, d, n))
+    for d in range(D):
+        gb = _pos_mask(shape, d, _CHAINS[lvl])
+        fb = _pos_mask(shape, d, fine_pos)
         in_grid = gb if in_grid is None else (in_grid & gb)
         any_fine = fb if any_fine is None else (any_fine | fb)
     return in_grid & any_fine
@@ -175,15 +169,18 @@ def _rem_cols(num_levels: int):
     return _CHAINS[num_levels]
 
 
-def extract_remainder(v, num_levels: int = 3):
+def extract_remainder(v, num_levels: int = 3, axes=None):
     """Gather each 8-block's local-coarse corner grid into a compact array
-    (static column slices, no gathers)."""
+    (static column slices, no gathers). `axes` restricts extraction to a
+    subset of axes (the Pallas kernel extracts the leading axes in VMEM -
+    Mosaic cannot reshape the lane axis - and the caller finishes the
+    minor axis outside)."""
     import jax.numpy as jnp
 
     cols = _rem_cols(num_levels)
     D = v.ndim
     x = v
-    for d in range(D):
+    for d in (range(D) if axes is None else axes):
         n = x.shape[d]
         g = n // 8
         shp = x.shape[:d] + (g, 8) + x.shape[d + 1 :]
@@ -195,15 +192,18 @@ def extract_remainder(v, num_levels: int = 3):
     return x
 
 
-def insert_remainder(coeff_field, rem, num_levels: int = 3):
+def insert_remainder(coeff_field, rem, num_levels: int = 3, axes=None,
+                     mask_select: bool = True):
     """Place remainder values back at their corner positions (zeros
-    elsewhere are preserved from coeff_field)."""
+    elsewhere are preserved from coeff_field). `axes` restricts the
+    expansion to a subset of axes (see extract_remainder); mask_select=False
+    returns the raw expansion without the corner-mask merge."""
     import jax.numpy as jnp
 
     cols = _rem_cols(num_levels)
     D = coeff_field.ndim
     x = rem
-    for d in range(D):
+    for d in (range(D) if axes is None else axes):
         m = x.shape[d]
         g = m // len(cols)
         shp = x.shape[:d] + (g, len(cols)) + x.shape[d + 1 :]
@@ -225,24 +225,189 @@ def insert_remainder(coeff_field, rem, num_levels: int = 3):
             pieces.append(jnp.zeros(zshp, xr.dtype))
         full = jnp.concatenate(pieces, axis=d + 1)
         x = full.reshape(x.shape[:d] + (g * 8,) + x.shape[d + 1 :])
+    if not mask_select:
+        return x
     mask = corner_mask(coeff_field.shape, num_levels)
     return jnp.where(mask, x, coeff_field)
 
 
 def corner_mask(shape, num_levels: int = 3):
     """Boolean mask of the remainder (local-coarse-in-all-axes) positions."""
-    import jax.numpy as jnp
-
     cols = _rem_cols(num_levels)
     D = len(shape)
     m = None
-    for d, n in enumerate(shape):
-        md = np.zeros(n, bool)
-        for c in cols:
-            md[c::8] = True
-        mb = jnp.asarray(md).reshape(_bshape(D, d, n))
+    for d in range(D):
+        mb = _pos_mask(shape, d, cols)
         m = mb if m is None else (m & mb)
     return m
+
+
+# ----------------------------------------------------------------------
+# Fused Pallas kernels (TPU): the whole local transform (+quantize +
+# remainder split) in ONE memory pass. The 8^3 blocks are halo-free, so
+# tiles aligned to 8 need no neighbor exchange at all - the property the
+# reference exploits with shared-memory-resident blocks
+# (Decompose8x8x8.hpp); here a VMEM tile holds thousands of blocks and the
+# kernel body is the same jnp roll/select code as the XLA path.
+# ----------------------------------------------------------------------
+try:
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+
+def _fwd_kernel_body(nl):
+    def kernel(q_ref, v_ref, sym_ref, rem_ref):
+        import jax.numpy as jnp
+
+        v = v_ref[...]
+        D = v.ndim
+        dec = local_decompose(v, nl)
+        # leading axes only: Mosaic cannot reshape the lane axis; the
+        # caller extracts the minor axis from this partial remainder
+        rem_ref[...] = extract_remainder(dec, nl, axes=range(D - 1))
+        cf = jnp.where(
+            corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec
+        )
+        inv_q = q_ref[0, 0]
+        t = cf * inv_q
+        half = jnp.asarray(0.5, cf.dtype)
+        sym_ref[...] = jnp.trunc(
+            jnp.where(t < 0, t - half, t + half)
+        ).astype(jnp.int32)
+
+    return kernel
+
+
+def _inv_kernel_body(nl):
+    def kernel(q_ref, sym_ref, rem_ref, out_ref):
+        import jax.numpy as jnp
+
+        q = q_ref[0, 0]
+        D = sym_ref.ndim
+        cf = sym_ref[...].astype(q.dtype) * q
+        # rem arrives lane-expanded (zeros at non-corner lanes); finish the
+        # leading-axes expansion and select at the full corner mask
+        rem_full = insert_remainder(cf, rem_ref[...], nl, axes=range(D - 1))
+        out_ref[...] = local_recompose(rem_full, nl)
+
+    return kernel
+
+
+def _tile_shape(shape):
+    """Pick a VMEM tile: full extent on the minor axis, 8 on the leading
+    axes, growing the middle axis while <= ~4MB f32. Returns None when the
+    shape doesn't fit the scheme (caller falls back to XLA)."""
+    D = len(shape)
+    if D > 3 or any(s % 8 for s in shape):
+        return None
+    budget = 1 << 19  # elements (~2MB f32; in+out+scratch fit 16MB VMEM)
+    if D == 1:
+        return (min(shape[0], budget),) if shape[0] % 8 == 0 else None
+    t = [8] * D
+    t[-1] = shape[-1]
+    if int(np.prod(t)) > budget:
+        return None
+    # grow the second-to-last axis in multiples of 8 divisors
+    d = D - 2
+    size = shape[d]
+    best = 8
+    cand = 8
+    while cand <= size:
+        if size % cand == 0 and int(np.prod(t[:d])) * cand * t[-1] <= budget:
+            best = cand
+        cand *= 2
+    t[d] = best
+    for s, ts in zip(shape, t):
+        if s % ts:
+            return None
+    return tuple(t)
+
+
+def local_transform_fused(v, q_inv, nl: int):
+    """Fused local decompose + corner split + quantize: returns
+    (sym int32 shape(v), rem float shape(v)/8*k). TPU f32 only; returns
+    None when the shape doesn't tile."""
+    shape = v.shape
+    tile = _tile_shape(shape)
+    if tile is None or not _HAVE_PALLAS:
+        return None
+    D = len(shape)
+    if D < 2:
+        return None
+    grid = tuple(s // t for s, t in zip(shape, tile))
+    k = len(_rem_cols(nl))
+    # the kernel extracts leading axes only; the minor axis stays full
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
+    rem_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+
+    import jax.numpy as jnp
+
+    sym, rem_part = pl.pallas_call(
+        _fwd_kernel_body(nl),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda *a: a,
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.int32),
+            jax.ShapeDtypeStruct(rem_shape, v.dtype),
+        ],
+    )(q_inv.reshape(1, 1), v)
+    # finish: extract the minor axis outside the kernel (tiny array)
+    rem = extract_remainder(rem_part, nl, axes=(D - 1,))
+    return sym, rem
+
+
+def local_inverse_fused(sym, rem, q, nl: int, dtype):
+    """Fused dequantize + corner insert + local recompose."""
+    shape = sym.shape
+    tile = _tile_shape(shape)
+    if tile is None or not _HAVE_PALLAS or len(shape) < 2:
+        return None
+    D = len(shape)
+    grid = tuple(s // t for s, t in zip(shape, tile))
+    k = len(_rem_cols(nl))
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
+
+    import jax.numpy as jnp
+
+    # pre-expand the minor axis on the host side of the kernel (cheap: the
+    # partial remainder is 1/4^(D-1) of the data)
+    part_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+    zeros = jnp.zeros(part_shape, rem.dtype)
+    rem = insert_remainder(zeros, rem, nl, axes=(D - 1,), mask_select=False)
+
+    return pl.pallas_call(
+        _inv_kernel_body(nl),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda *a: a,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(shape, dtype)],
+    )(q.reshape(1, 1), sym, rem)[0]
 
 
 def hybrid_l_total(shape, num_levels: int, rem_hier: Hierarchy) -> int:

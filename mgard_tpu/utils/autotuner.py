@@ -1,0 +1,169 @@
+"""Per-shape kernel auto-tuning with a persistent table.
+
+TPU-native analogue of the reference AutoTuner (reference:
+include/mgard-x/RuntimeX/AutoTuners/AutoTuner.h:46-118 and the
+mgard-x-autotuner executable, src/mgard-x/Executables/mgard-x-autotuner.cpp):
+the reference profiles every kernel across block-size candidates and writes
+the winners back into per-backend header tables; here the tunable knobs are
+the BFX superblock size and the Huffman chunk size, the profiler times the
+jitted pipelines on the live device, and the winners persist in a JSON
+table keyed by (platform, dtype, size bucket) under
+~/.cache/mgard_tpu_autotune.json. Config.apply_autotune() consults the
+table; `python -m mgard_tpu.utils.autotuner` runs the sweep (the
+autotuner-executable parity point).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+_TABLE_PATH = os.environ.get(
+    "MGARD_TPU_AUTOTUNE_TABLE",
+    os.path.expanduser("~/.cache/mgard_tpu_autotune.json"),
+)
+
+# candidate spaces (format parameters recorded in each blob, so any choice
+# decodes everywhere)
+SB_CANDIDATES = (1024, 2048, 4096, 8192)
+HUFF_BLOCK_CANDIDATES = (512, 1024, 4096)
+
+
+def _size_bucket(n: int) -> int:
+    """Log2 bucket of the element count."""
+    return max(16, int(math.ceil(math.log2(max(n, 1)))))
+
+
+def _key(platform: str, dtype, n: int) -> str:
+    return f"{platform}/{np.dtype(dtype).name}/2^{_size_bucket(n)}"
+
+
+def load_table() -> dict:
+    try:
+        with open(_TABLE_PATH) as f:
+            return json.load(f)
+    except Exception:
+        return {}
+
+
+def save_table(table: dict) -> None:
+    os.makedirs(os.path.dirname(_TABLE_PATH), exist_ok=True)
+    tmp = _TABLE_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(table, f, indent=1, sort_keys=True)
+    os.replace(tmp, _TABLE_PATH)
+
+
+def lookup(dtype, n: int) -> Optional[dict]:
+    import jax
+
+    return load_table().get(_key(jax.default_backend(), dtype, n))
+
+
+def apply_autotune(config, shape, dtype) -> None:
+    """Overwrite tunable Config knobs from the persistent table (no-op when
+    the shape/platform was never profiled)."""
+    entry = lookup(dtype, int(np.prod(shape)))
+    if not entry:
+        return
+    if "bfx_sb_blocks" in entry:
+        config.bfx_sb_blocks = int(entry["bfx_sb_blocks"])
+    if "huff_block_size" in entry:
+        config.huff_block_size = int(entry["huff_block_size"])
+
+
+def _time_device(fn, *args, reps: int = 3) -> float:
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        _ = np.asarray(leaf.ravel()[:1])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def tune_bfx(n: int, dtype=np.int32, verbose: bool = True) -> dict:
+    """Profile BFX encode+decode across superblock sizes for an n-symbol
+    stream; returns {'bfx_sb_blocks': winner, ...timings}."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..lossless import bfx
+
+    rng = np.random.default_rng(0)
+    sym = jnp.asarray((rng.standard_normal(n) * 20).astype(np.int32))
+    use_pallas = jax.default_backend() == "tpu"
+    align = bfx.ALIGN if use_pallas else 1
+    results = {}
+    for sb in SB_CANDIDATES:
+        if n < sb * 32:
+            continue
+        npad = (n + sb * 32 - 1) // (sb * 32) * (sb * 32)
+        s = sym
+        if npad != n:
+            s = jnp.concatenate([s, jnp.zeros(npad - n, jnp.int32)])
+        try:
+            t_enc = _time_device(
+                lambda s=s, sb=sb: bfx.encode_core(s, sb, use_pallas, align)
+            )
+            flat, w, _tot = bfx.encode_core(s, sb, use_pallas, align)
+            t_dec = _time_device(
+                lambda flat=flat, w=w, sb=sb: bfx.decode_core(
+                    flat, w, sb, use_pallas, align
+                )
+            )
+        except Exception as e:  # candidate not lowerable on this platform
+            if verbose:
+                print(f"  sb={sb}: failed ({type(e).__name__})")
+            continue
+        results[sb] = t_enc + t_dec
+        if verbose:
+            print(f"  sb={sb}: enc {t_enc*1e3:.1f} ms dec {t_dec*1e3:.1f} ms")
+    if not results:
+        return {}
+    best = min(results, key=results.get)
+    return {"bfx_sb_blocks": best,
+            "bfx_timings_ms": {str(k): round(v * 1e3, 2) for k, v in results.items()}}
+
+
+def autotune(n: int = 1 << 24, dtype=np.float32, verbose: bool = True) -> dict:
+    """Run the sweep for one size bucket and persist the winners."""
+    import jax
+
+    key = _key(jax.default_backend(), dtype, n)
+    if verbose:
+        print(f"autotuning {key} ...")
+    entry = {}
+    entry.update(tune_bfx(n, verbose=verbose))
+    table = load_table()
+    table[key] = entry
+    save_table(table)
+    if verbose:
+        print(f"-> {entry.get('bfx_sb_blocks')} written to {_TABLE_PATH}")
+    return entry
+
+
+def main(argv=None):
+    import sys
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    n = 1 << 24
+    for a in argv:
+        if a.startswith("--n="):
+            n = int(a.split("=")[1])
+    autotune(n)
+
+
+if __name__ == "__main__":
+    main()
