@@ -402,7 +402,9 @@ def encode_device(symbols, sb_blocks=None):
     sym = jnp.asarray(symbols).astype(jnp.int32).ravel()
     if npad != n:
         sym = jnp.concatenate([sym, jnp.zeros(npad - n, jnp.int32)])
-    use_pallas = _use_pallas()
+    # small streams take the XLA path with unaligned (tight) superblock
+    # offsets: the 1024-word DMA alignment would dominate their size
+    use_pallas = _use_pallas() and sb_blocks >= SB_BLOCKS
     align = ALIGN if use_pallas else 1
     flat2d, w, total = encode_core(sym, sb_blocks, use_pallas, align)
     return ("bfx", n, sb_blocks, align, flat2d, w, total)

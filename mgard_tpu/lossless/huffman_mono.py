@@ -269,7 +269,7 @@ def decode_kernel(words, chunk_starts, thresholds16, fr_base, K: int, C: int, di
 _MAGIC = b"HUF2"
 
 
-def encode(symbols, dict_size: int, block_size: int = 1024, sample_cap: int = 1 << 21) -> bytes:
+def encode(symbols, dict_size: int, block_size: int = 1024, sample_cap: int = 1 << 18) -> bytes:
     n = int(symbols.shape[0])
     if n == 0:
         return struct.pack("<4sQII", _MAGIC, 0, dict_size, block_size)
@@ -277,6 +277,8 @@ def encode(symbols, dict_size: int, block_size: int = 1024, sample_cap: int = 1 
     C = (n + K - 1) // K
     npad = C * K - n
 
+    # bincount runs ~0.6 GB/s-effective on TPU (gather-bound); a 256K-sample
+    # histogram keeps the codebook estimate while cutting ~0.9 s at 512^3
     stride = max(1, n // sample_cap)
     zz_hist_fn = jax.jit(
         lambda s: jnp.bincount(

@@ -303,11 +303,13 @@ def _tile_shape(shape):
     axes, growing the middle axis while <= ~4MB f32. Returns None when the
     shape doesn't fit the scheme (caller falls back to XLA)."""
     D = len(shape)
-    if D > 3 or any(s % 8 for s in shape):
+    if D > 3 or D < 2 or any(s % 8 for s in shape):
+        return None
+    if shape[-1] % 128:
+        # Mosaic wants a lane-aligned minor dim; unaligned shapes take the
+        # whole-array XLA path
         return None
     budget = 1 << 19  # elements (~2MB f32; in+out+scratch fit 16MB VMEM)
-    if D == 1:
-        return (min(shape[0], budget),) if shape[0] % 8 == 0 else None
     t = [8] * D
     t[-1] = shape[-1]
     if int(np.prod(t)) > budget:
