@@ -79,6 +79,13 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     N = n * n * n
     Ntot = N + int(np.prod(rem_hier.shape))
     sb = bfx.SB_BLOCKS if on_tpu else bfx.SB_BLOCKS_SMALL
+    if on_tpu:
+        # honor the persistent autotuner table when this size was profiled
+        from mgard_tpu.utils.autotuner import lookup
+
+        tuned = (lookup(np.float32, Ntot) or {}).get("bfx_sb_blocks")
+        if tuned and Ntot >= tuned * 32:
+            sb = int(tuned)
     align = bfx.ALIGN if on_tpu else 1
     npad = (Ntot + sb * 32 - 1) // (sb * 32) * (sb * 32)
 

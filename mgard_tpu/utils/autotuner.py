@@ -35,8 +35,8 @@ HUFF_BLOCK_CANDIDATES = (512, 1024, 4096)
 
 
 def _size_bucket(n: int) -> int:
-    """Log2 bucket of the element count."""
-    return max(16, int(math.ceil(math.log2(max(n, 1)))))
+    """Nearest-log2 bucket of the element count."""
+    return max(16, int(round(math.log2(max(n, 1)))))
 
 
 def _key(platform: str, dtype, n: int) -> str:
