@@ -1,0 +1,65 @@
+"""Deliberate on-accelerator smoke matrix.
+
+These tests only run with MGARD_TPU_TEST_TPU=1 (the conftest otherwise
+pins the suite to CPU): a small end-to-end matrix on the real device,
+including the float64 path whose rounding lowering regressed on TPU in
+round 1 (see ops/quantize.py) and the fused Pallas hybrid kernels.
+"""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+import mgard_tpu
+from mgard_tpu import Config
+from mgard_tpu.dtypes import compress_status_type, decomposition_type
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("MGARD_TPU_TEST_TPU"),
+    reason="TPU smoke matrix is opt-in (MGARD_TPU_TEST_TPU=1)",
+)
+
+
+def _field(shape, dtype):
+    axes = [np.linspace(0, 1, n) for n in shape]
+    G = np.meshgrid(*axes, indexing="ij")
+    v = np.sin(4 * np.pi * G[0])
+    if len(G) > 1:
+        v = v * np.cos(3 * np.pi * G[-1])
+    return v.astype(dtype)
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_e2e_on_device(dtype):
+    v = _field((128, 128, 128), dtype)
+    blob, st = mgard_tpu.compress(v, tol=1e-4, s=math.inf)
+    assert st == compress_status_type.Success
+    out, st2 = mgard_tpu.decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert float(np.max(np.abs(out - v))) <= 1e-4
+
+
+def test_hybrid_fused_on_device():
+    v = _field((128, 128, 128), np.float32)
+    cfg = Config()
+    cfg.decomposition = decomposition_type.Hybrid
+    blob, st = mgard_tpu.compress(v, tol=1e-4, s=math.inf, config=cfg)
+    assert st == compress_status_type.Success
+    out, st2 = mgard_tpu.decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert float(np.max(np.abs(out - v))) <= 1e-4
+
+
+def test_s_norm_on_device():
+    v = _field((64, 64, 64), np.float32)
+    blob, st = mgard_tpu.compress(
+        v, tol=1e-3, s=0.0, mode=mgard_tpu.error_bound_type.REL
+    )
+    assert st == compress_status_type.Success
+    out, st2 = mgard_tpu.decompress(blob)
+    assert st2 == compress_status_type.Success
+    l2 = np.sqrt(np.mean((out - v).astype(np.float64) ** 2))
+    l2v = np.sqrt(np.mean(v.astype(np.float64) ** 2))
+    assert l2 <= 1e-3 * l2v
