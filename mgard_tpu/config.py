@@ -84,6 +84,10 @@ class Config:
 
     # --- hybrid refactoring ----------------------------------------------
     num_local_refactoring_level: int = 1
+    # Group hybrid symbols by minor-axis position class before entropy
+    # coding: +~6% compression ratio for -~6% throughput (one extra
+    # relayout pass each way). Recorded in the blob header.
+    hybrid_level_grouping: bool = False
 
     # --- misc -------------------------------------------------------------
     log_level: int = 0

@@ -200,8 +200,9 @@ def _hybrid_quantizer(abs_tol: float, l_total: int) -> float:
     return 2.0 * abs_tol / (l_total + 1)
 
 
-@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "fused"))
-def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier, fused=False):
+@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "fused", "zgroup"))
+def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier, fused=False,
+                          zgroup=False):
     from .ops import hybrid as Hy
 
     pad = [(0, p - s) for s, p in zip(v.shape, padded)]
@@ -218,16 +219,22 @@ def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier, fused=False):
         # one-pass Pallas kernel: local transform + corner split + quantize
         sym_cf, rem = Hy.local_transform_fused(v, inv_q, nl)
         rem_dec = decompose(rem, rem_hier, orthogonal=False)
+        if zgroup:
+            sym_cf = Hy.zclass_group(sym_cf)
         return jnp.concatenate([sym_cf.ravel(), quant(rem_dec).ravel()])
     dec = Hy.local_decompose(v, nl)
     rem = Hy.extract_remainder(dec, nl)
     cf = jnp.where(Hy.corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec)
     rem_dec = decompose(rem, rem_hier, orthogonal=False)
-    return jnp.concatenate([quant(cf).ravel(), quant(rem_dec).ravel()])
+    cf_sym = quant(cf)
+    if zgroup:
+        cf_sym = Hy.zclass_group(cf_sym)
+    return jnp.concatenate([cf_sym.ravel(), quant(rem_dec).ravel()])
 
 
-@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier", "fused"))
-def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier, fused=False):
+@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier", "fused", "zgroup"))
+def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier, fused=False,
+                            zgroup=False):
     from .ops import hybrid as Hy
 
     work = jnp.float64 if rem_hier.dtype == np.float64 else jnp.float32
@@ -235,12 +242,13 @@ def _decompress_core_hybrid(sym, q_scalar, shape, padded, nl, rem_hier, fused=Fa
     q = q_scalar.astype(work)
     rem_dec = (sym[n_cf:].astype(work) * q).reshape(rem_hier.shape)
     rem = recompose(rem_dec, rem_hier, orthogonal=False)
+    cf_sym = sym[:n_cf].reshape(padded)
+    if zgroup:
+        cf_sym = Hy.zclass_ungroup(cf_sym)
     if fused:
-        out = Hy.local_inverse_fused(
-            sym[:n_cf].reshape(padded), rem.astype(work), q, nl, work
-        )
+        out = Hy.local_inverse_fused(cf_sym, rem.astype(work), q, nl, work)
         return out[tuple(slice(0, s) for s in shape)]
-    cf = (sym[:n_cf].astype(work) * q).reshape(padded)
+    cf = cf_sym.astype(work) * q
     dec = Hy.insert_remainder(cf, rem.astype(work), nl)
     out = Hy.local_recompose(dec, nl)
     return out[tuple(slice(0, s) for s in shape)]
@@ -322,6 +330,7 @@ def _dispatch_subdomain(
         sym = _compress_core_hybrid(
             v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
             fused=_hybrid_fused_ok(padded, hier.dtype),
+            zgroup=bool(config.hybrid_level_grouping),
         )
         return ("bfx", bfx.encode_device(sym, getattr(config, "bfx_sb_blocks", None)))
     if raw:
@@ -564,7 +573,12 @@ def compress(
             coords=coords_list,
             decomposition=config.decomposition,
             l_target=first_hier.l_target,
-            reorder=config.reorder,
+            reorder=(config.reorder | 1)
+            if (
+                config.decomposition == decomposition_type.Hybrid
+                and config.hybrid_level_grouping
+            )
+            else config.reorder,
             domain_decomposed=dd.domain_decomposed,
             ddtype=config.domain_decomposition,
             domain_decomposed_dim=dd.domain_decomposed_dim,
@@ -757,6 +771,7 @@ def decompress(
                 rec = _decompress_core_hybrid(
                     qflat, jnp.asarray(q, dtype), hier.shape, padded, nl,
                     rem_hier, fused=_hybrid_fused_ok(padded, dtype),
+                    zgroup=bool(meta.reorder & 1),
                 )
             elif _raw_symbol_backend(meta.ltype):
                 rec = _decompress_core_sym(

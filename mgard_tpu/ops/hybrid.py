@@ -424,3 +424,28 @@ def remainder_shape(shape, num_levels: int):
 
 def pad_to8(shape):
     return tuple((s + 7) // 8 * 8 for s in shape)
+
+
+def zclass_group(sym):
+    """Group the minor axis by position class (z mod 8): after the local
+    transform every 32-symbol lane run then holds a single (x,y,z)-class
+    triple, so BFX block widths are level-homogeneous (pure corner-zero
+    blocks cost nothing). One minor-dim relayout each way."""
+    import jax.numpy as jnp
+
+    n = sym.shape[-1]
+    g = n // 8
+    x = sym.reshape(sym.shape[:-1] + (g, 8))
+    perm = tuple(range(sym.ndim - 1)) + (sym.ndim, sym.ndim - 1)
+    return jnp.transpose(x, perm).reshape(sym.shape)
+
+
+def zclass_ungroup(sym):
+    """Inverse of zclass_group."""
+    import jax.numpy as jnp
+
+    n = sym.shape[-1]
+    g = n // 8
+    x = sym.reshape(sym.shape[:-1] + (8, g))
+    perm = tuple(range(sym.ndim - 1)) + (sym.ndim, sym.ndim - 1)
+    return jnp.transpose(x, perm).reshape(sym.shape)

@@ -53,3 +53,22 @@ def test_hybrid_compresses_smooth_data():
     blob, st = mgard_tpu.compress(v, tol=1e-2, s=math.inf, config=cfg)
     assert st == compress_status_type.Success
     assert len(blob) < v.nbytes / 3
+
+
+def test_hybrid_level_grouping_roundtrip():
+    """hybrid_level_grouping reorders symbols by minor-axis class for
+    better BFX widths; the flag travels in the header (reorder bit 0)."""
+    v = _field((16, 16, 16))
+    cfg = Config()
+    cfg.decomposition = decomposition_type.Hybrid
+    cfg.hybrid_level_grouping = True
+    blob, st = mgard_tpu.compress(v, tol=1e-3, s=math.inf, config=cfg)
+    assert st == compress_status_type.Success
+    out, st2 = mgard_tpu.decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert float(np.max(np.abs(out - v))) <= 1e-3
+    # grouped and ungrouped blobs decode to the same quality
+    blob2, _ = mgard_tpu.compress(v, tol=1e-3, s=math.inf, config=Config(
+        decomposition=decomposition_type.Hybrid))
+    out2, _ = mgard_tpu.decompress(blob2)
+    assert np.allclose(out, out2, atol=2e-3)
