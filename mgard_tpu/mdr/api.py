@@ -353,8 +353,11 @@ def MDReconstruct(
     for l, lm in enumerate(meta.levels):
         b = counts[l]
         m = (lm.n + bitplane.LANES - 1) // bitplane.LANES
-        rows = np.zeros((sr + b, m), np.uint32)
-        for p in range(sr + b):
+        # a level with no requested planes contributes nothing (its plane
+        # blobs may not even have been retrieved)
+        nrows = (sr + b) if b > 0 else 0
+        rows = np.zeros((nrows, m), np.uint32)
+        for p in range(nrows):
             blob = data.planes[l][p]
             codec = int(lm.plane_raw[p])
             if codec == PLANE_ZLIB:

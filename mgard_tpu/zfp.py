@@ -46,9 +46,12 @@ MODE_PRECISION = 1
 # fixed-point fraction bits per dimensionality (guard bits keep the
 # d-dimensional forward transform inside int32)
 _Q = {1: 28, 2: 27, 3: 26}
-# conservative L-inf amplification of the d-dimensional inverse transform
-# (validated by tests/test_zfp.py bound checks)
-_AMP = {1: 4.0, 2: 8.0, 3: 16.0}
+# L-inf operator norm of the d-dimensional inverse transform (exact max
+# abs row sum of the float-linearized inverse lifting, computed offline:
+# 3.75 / 14.06 / 52.73), rounded up. The midpoint restore halves the
+# truncation error, leaving headroom for fixed-point rounding and the
+# lifting pair's ~2-LSB-per-axis non-invertibility defect.
+_AMP = {1: 4.0, 2: 15.0, 3: 53.0}
 
 
 def _fwd_lift(x0, x1, x2, x3):

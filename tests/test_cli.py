@@ -1,0 +1,58 @@
+"""CLI round-trip tests (reference: mgard-x / mdr-x executable flows)."""
+
+import numpy as np
+import pytest
+
+from mgard_tpu.cli import main as cli_main
+from mgard_tpu.mdr.cli import main as mdr_main
+
+
+@pytest.fixture
+def field(tmp_path):
+    v = np.fromfunction(
+        lambda i, j, k: np.sin(i / 7.0) * np.cos(j / 5.0) + 0.1 * k / 9.0,
+        (33, 21, 9),
+    ).astype(np.float32)
+    p = tmp_path / "data.raw"
+    v.tofile(p)
+    return v, str(p), tmp_path
+
+
+@pytest.mark.parametrize("backend", ["bfx", "huffman", "blockdelta"])
+def test_cli_compress_decompress(field, backend, capsys):
+    v, path, tmp = field
+    blob_path = str(tmp / "data.mgard")
+    out_path = str(tmp / "out.raw")
+    cli_main(["-z", "-i", path, "-o", blob_path, "-dt", "s",
+              "-dim", "3", "33", "21", "9", "-em", "abs", "-e", "1e-3",
+              "-s", "inf", "-l", backend])
+    cli_main(["-x", "-i", blob_path, "-o", out_path, "-g", path, "-v", "1"])
+    out = np.fromfile(out_path, np.float32).reshape(v.shape)
+    assert np.max(np.abs(out - v)) <= 1e-3
+    stats = capsys.readouterr().out
+    assert "Satisfied" in stats
+
+
+def test_cli_zfp_compressor(field):
+    v, path, tmp = field
+    blob_path = str(tmp / "data.zfp")
+    out_path = str(tmp / "out.raw")
+    cli_main(["-z", "-i", path, "-o", blob_path, "-dt", "s",
+              "-dim", "3", "33", "21", "9", "-e", "1e-3", "-c", "zfp"])
+    cli_main(["-x", "-i", blob_path, "-o", out_path])
+    out = np.fromfile(out_path, np.float32).reshape(v.shape)
+    assert np.max(np.abs(out - v)) <= 1e-3
+
+
+def test_mdr_cli_progressive(field, capsys):
+    v, path, tmp = field
+    mdr_path = str(tmp / "data.mdr")
+    out_path = str(tmp / "out.raw")
+    mdr_main(["-z", "-i", path, "-o", mdr_path, "-dt", "s",
+              "-dim", "3", "33", "21", "9"])
+    mdr_main(["-x", "-i", mdr_path, "-o", out_path,
+              "-e", "1e-1", "1e-2", "-g", path])
+    printed = capsys.readouterr().out
+    assert printed.count("OK") >= 2
+    out = np.fromfile(out_path, np.float32).reshape(v.shape)
+    assert np.max(np.abs(out - v)) <= 1e-2
