@@ -89,6 +89,10 @@ class Metadata:
     # (reference: CompressionHighLevel/ShapeAdjustment.hpp); the stored
     # shape is the ORIGINAL, the adjusted one is recomputed
     adjusted: bool = False
+    # Hybrid decomposition: symbols were zclass-grouped before the entropy
+    # stage (Config.hybrid_level_grouping); its own field, NOT aliased onto
+    # reorder (user-settable reorder must not corrupt decode)
+    hybrid_grouping: bool = False
 
     # region-of-interest adaptive bounds (ops/roi.py); the ROI mask itself
     # travels in the payload
@@ -134,8 +138,9 @@ class Metadata:
         )
         body += struct.pack("<B", int(self.ptype))
         body += struct.pack(
-            "<BBB", int(self.ctype), int(self.nlocal),
+            "<BBBB", int(self.ctype), int(self.nlocal),
             1 if self.adjusted else 0,
+            1 if self.hybrid_grouping else 0,
         )
         body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
 
@@ -221,11 +226,12 @@ class Metadata:
         (pt,) = struct.unpack_from("<B", body, p)
         p += 1
         m.ptype = processor_type(pt)
-        ct, nloc, adj = struct.unpack_from("<BBB", body, p)
-        p += 3
+        ct, nloc, adj, hg = struct.unpack_from("<BBBB", body, p)
+        p += 4
         m.ctype = compressor_type(ct)
         m.nlocal = nloc
         m.adjusted = bool(adj)
+        m.hybrid_grouping = bool(hg)
         roi_en, roi_f = struct.unpack_from("<Bd", body, p)
         p += 9
         m.roi_enabled = bool(roi_en)

@@ -573,12 +573,11 @@ def compress(
             coords=coords_list,
             decomposition=config.decomposition,
             l_target=first_hier.l_target,
-            reorder=(config.reorder | 1)
-            if (
+            reorder=config.reorder,
+            hybrid_grouping=(
                 config.decomposition == decomposition_type.Hybrid
-                and config.hybrid_level_grouping
-            )
-            else config.reorder,
+                and bool(config.hybrid_level_grouping)
+            ),
             domain_decomposed=dd.domain_decomposed,
             ddtype=config.domain_decomposition,
             domain_decomposed_dim=dd.domain_decomposed_dim,
@@ -771,7 +770,7 @@ def decompress(
                 rec = _decompress_core_hybrid(
                     qflat, jnp.asarray(q, dtype), hier.shape, padded, nl,
                     rem_hier, fused=_hybrid_fused_ok(padded, dtype),
-                    zgroup=bool(meta.reorder & 1),
+                    zgroup=bool(meta.hybrid_grouping),
                 )
             elif _raw_symbol_backend(meta.ltype):
                 rec = _decompress_core_sym(

@@ -39,7 +39,9 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
         if lt == lossless_type.Huffman_Zstd:
             inner = host.zstd_compress(inner, config.zstd_compress_level)
         elif lt == lossless_type.Huffman_LZ4:
-            inner = host.zlib_compress(inner, 1)  # LZ4-class fast byte stage
+            from . import lz4
+
+            inner = struct.pack("<Q", len(inner)) + lz4.compress(inner)
     elif lt == lossless_type.CPU_Lossless:
         raw = np.asarray(quantized_flat).astype("<i4").tobytes()
         inner = struct.pack("<Q", n) + host.zstd_compress(raw, config.zstd_compress_level)
@@ -52,8 +54,10 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
 
         inner = block_delta.encode(quantized_flat, config)
     elif lt == lossless_type.LZ4:
+        from . import lz4
+
         raw = np.asarray(quantized_flat).astype("<i4").tobytes()
-        inner = struct.pack("<Q", n) + host.zlib_compress(raw, 1)
+        inner = struct.pack("<Q", n) + lz4.compress(raw)
     elif lt == lossless_type.SymbolRans:
         from . import symbol_rans
 
@@ -83,7 +87,10 @@ def lossless_decompress(data: bytes, offset: int = 0):
         if lt == lossless_type.Huffman_Zstd:
             inner = host.zstd_decompress(bytes(inner))
         elif lt == lossless_type.Huffman_LZ4:
-            inner = host.zlib_decompress(bytes(inner))
+            from . import lz4
+
+            (raw_n,) = struct.unpack_from("<Q", inner, 0)
+            inner = lz4.decompress(bytes(inner[8:]), raw_n)
         if bytes(inner[:4]) == b"HUF2":
             from . import huffman_mono
 
@@ -94,11 +101,12 @@ def lossless_decompress(data: bytes, offset: int = 0):
     if lt in (lossless_type.CPU_Lossless, lossless_type.LZ4):
         (n,) = struct.unpack_from("<Q", inner, 0)
         blob = bytes(inner[8:])
-        raw = (
-            host.zstd_decompress(blob, expected_size=4 * n)
-            if lt == lossless_type.CPU_Lossless
-            else host.zlib_decompress(blob)
-        )
+        if lt == lossless_type.CPU_Lossless:
+            raw = host.zstd_decompress(blob, expected_size=4 * n)
+        else:
+            from . import lz4
+
+            raw = lz4.decompress(blob, 4 * n)
         syms = np.frombuffer(raw, dtype="<i4", count=n).copy()
         return jnp.asarray(syms), consumed
     if lt == lossless_type.ZeroRLE_Rans:

@@ -76,6 +76,10 @@ class RefactoredMetadata:
     # file segments stored in error-impact order (Reorganizer) instead of
     # level-major order
     reorganized: bool = False
+    # the s-norm the reorganizer's greedy gain used; persisted so readers
+    # recompute the identical segment order (ADVICE r2: an s passed at write
+    # time but not at read time silently corrupted plane offsets)
+    reorg_s: float = float("inf")
 
     @property
     def sign_rows(self) -> int:
@@ -84,7 +88,7 @@ class RefactoredMetadata:
     def serialize(self) -> bytes:
         body = bytearray()
         body += struct.pack(
-            "<BBIQBBBB",
+            "<BBIQBBBBd",
             int(self.dtype),
             len(self.shape),
             self.number_bitplanes,
@@ -93,6 +97,7 @@ class RefactoredMetadata:
             int(self.encoding),
             1 if self.orthogonal else 0,
             1 if self.reorganized else 0,
+            float(self.reorg_s),
         )
         for n in self.shape:
             body += struct.pack("<Q", n)
@@ -120,10 +125,10 @@ class RefactoredMetadata:
         if len(body) != size or (zlib.crc32(body) & 0xFFFFFFFF) != crc:
             raise FormatError("corrupted MDR metadata")
         p = 0
-        dt, nd, B, total, has_coords, enc, orth, reorg = struct.unpack_from(
-            "<BBIQBBBB", body, p
+        dt, nd, B, total, has_coords, enc, orth, reorg, reorg_s = struct.unpack_from(
+            "<BBIQBBBBd", body, p
         )
-        p += struct.calcsize("<BBIQBBBB")
+        p += struct.calcsize("<BBIQBBBBd")
         shape = []
         for _ in range(nd):
             (n,) = struct.unpack_from("<Q", body, p)
@@ -167,6 +172,7 @@ class RefactoredMetadata:
             encoding=bitplane_encoding_type(enc),
             orthogonal=bool(orth),
             reorganized=bool(reorg),
+            reorg_s=float(reorg_s),
         )
         return meta, 16 + size
 
@@ -390,19 +396,21 @@ def MDReconstruct(
 # (reference: MDR-X/Reorganizer/BasicReorganizer — order segments by error
 # impact so a byte-range prefix read retrieves the most useful planes)
 # ----------------------------------------------------------------------
-def segment_order(meta: RefactoredMetadata, s: float = float("inf")):
+def segment_order(meta: RefactoredMetadata):
     """Deterministic storage order of (level, row) segments.
 
     Level-major when not reorganized; otherwise greedy error-impact order
     (each level's sign plane rides immediately before its first magnitude
-    plane). Readers recompute the identical order from the metadata, so no
-    extra index is stored."""
+    plane) under the persisted meta.reorg_s norm. Readers recompute the
+    identical order from the metadata alone, so no extra index is stored."""
     L = len(meta.levels)
     sr = meta.sign_rows
     if not meta.reorganized:
         return [(l, p) for l in range(L) for p in range(len(meta.levels[l].plane_sizes))]
     import heapq as _hq
     import math as _math
+
+    s = meta.reorg_s
 
     def gain(l, b):
         lm = meta.levels[l]
@@ -428,10 +436,12 @@ def segment_order(meta: RefactoredMetadata, s: float = float("inf")):
 
 def write_mdr(path: str, meta: RefactoredMetadata, data: RefactoredData,
               s: float = float("inf")) -> None:
+    if meta.reorganized:
+        meta.reorg_s = float(s)  # persisted; readers re-derive the order
     header = meta.serialize()
     with open(path, "wb") as f:
         f.write(header)
-        for l, p in segment_order(meta, s):
+        for l, p in segment_order(meta):
             f.write(data.planes[l][p])
 
 
@@ -445,14 +455,15 @@ def read_mdr_metadata(path: str) -> tuple[RefactoredMetadata, int]:
 
 def read_mdr_planes(
     path: str, meta: RefactoredMetadata, counts: Sequence[int], header_size: int,
-    s: float = float("inf"),
 ) -> RefactoredData:
-    """Retrieve only the planes a plan needs (byte-ranged reads)."""
+    """Retrieve only the planes a plan needs (byte-ranged reads). The
+    segment order comes from the header (meta.reorg_s), never from caller
+    arguments."""
     offsets = [
         [None] * len(lm.plane_sizes) for lm in meta.levels
     ]
     off = header_size
-    for l, p in segment_order(meta, s):
+    for l, p in segment_order(meta):
         sz = meta.levels[l].plane_sizes[p]
         offsets[l][p] = (off, sz)
         off += sz

@@ -103,12 +103,17 @@ def tune_bfx(n: int, dtype=np.int32, verbose: bool = True) -> dict:
 
     rng = np.random.default_rng(0)
     sym = jnp.asarray((rng.standard_normal(n) * 20).astype(np.int32))
-    use_pallas = jax.default_backend() == "tpu"
-    align = bfx.ALIGN if use_pallas else 1
+    on_tpu = jax.default_backend() == "tpu"
     results = {}
     for sb in SB_CANDIDATES:
         if n < sb * 32:
             continue
+        # match encode_device's deployed dispatch exactly: the Pallas path
+        # (and its ALIGN-word placement) only engages at sb >= SB_BLOCKS, so
+        # candidates below that must be timed on the XLA fallback they would
+        # actually run (ADVICE r2: tuned timings must match deployment)
+        use_pallas = on_tpu and sb >= bfx.SB_BLOCKS
+        align = bfx.ALIGN if use_pallas else 1
         npad = (n + sb * 32 - 1) // (sb * 32) * (sb * 32)
         s = sym
         if npad != n:

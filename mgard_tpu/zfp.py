@@ -171,14 +171,18 @@ def _encode_core(v, d: int, mode: int, param: float, use_pallas: bool):
         # per-block plane cut so that |error| <= tol after the inverse
         # transform: 2^cut * 2^(emax-q) * AMP <= tol
         budget = math.log2(max(param, 1e-300) / _AMP[d])
+        # clamp to 31: int32 shifts by >= 32 are implementation-defined in
+        # XLA (observed on TPU: 1<<33 == 0 but mod-32 elsewhere); clamping
+        # the cut down only tightens the bound, and cut=31 already zeroes
+        # every magnitude bit of the symbols
         cut = jnp.clip(
             jnp.floor(budget - (emax - q).astype(jnp.float64)).astype(jnp.int32),
             0,
-            q + 8,
+            min(q + 8, 31),
         )
     else:
         keep = int(param)
-        cut = jnp.full((NB,), max(0, q + 2 - keep), jnp.int32)
+        cut = jnp.full((NB,), min(max(0, q + 2 - keep), 31), jnp.int32)
     sym = coeff >> cut[:, None]  # arithmetic shift: truncation toward -inf
     return sym.reshape(-1), emax, cut
 

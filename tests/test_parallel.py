@@ -12,12 +12,16 @@ import numpy as np
 import pytest
 
 import mgard_tpu
-from mgard_tpu.parallel import compress_sharded, make_subdomain_mesh
+from mgard_tpu.parallel import (
+    compress_sharded,
+    decompress_sharded,
+    make_subdomain_mesh,
+)
 
 
-def _field(shape):
+def _field(shape, dtype=np.float32):
     rng = np.random.default_rng(7)
-    return rng.standard_normal(shape).astype(np.float32)
+    return rng.standard_normal(shape).astype(dtype)
 
 
 @pytest.fixture(scope="module")
@@ -58,7 +62,79 @@ def test_sharded_matches_single_device_bound(mesh):
     assert np.max(np.abs(out_s - v)) <= 1e-3
 
 
-def test_sharded_rejects_indivisible(mesh):
-    v = _field((13, 9, 9))
+def test_sharded_indivisible_leading_dim(mesh):
+    """Arbitrary leading dims: equal chunks on the mesh + a remainder
+    subdomain on the single-device path (r2 required divisibility)."""
+    v = _field((8 * 6 + 5, 9, 9))
+    blob, st = compress_sharded(v, tol=1e-2, s=math.inf, mesh=mesh)
+    assert int(st) == 0
+    out, st2 = mgard_tpu.decompress(blob)
+    assert int(st2) == 0
+    assert out.shape == v.shape
+    assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_sharded_float64_no_silent_cast(mesh):
+    """f64 data compresses in f64: a tolerance far below f32 resolution must
+    hold (ADVICE r2: the f32 downcast silently violated the stated bound)."""
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal((8 * 4, 9, 9)).astype(np.float64)
+    # far below f32 resolution on O(1) data (~2.4e-7 cast error) but well
+    # inside int32 symbol range
+    tol = 1e-7
+    blob, st = compress_sharded(v, tol=tol, s=math.inf, mesh=mesh)
+    assert int(st) == 0
+    out, st2 = mgard_tpu.decompress(blob)
+    assert int(st2) == 0
+    assert out.dtype == np.float64
+    assert np.max(np.abs(out - v)) <= tol
+
+
+def test_sharded_rejects_tiny_leading_dim(mesh):
+    v = _field((5, 9, 9))
     with pytest.raises(ValueError):
         compress_sharded(v, tol=1e-2, mesh=mesh)
+
+
+def test_sharded_rejects_non_bfx_config(mesh):
+    v = _field((8 * 2, 9, 9))
+    cfg = mgard_tpu.Config()
+    cfg.lossless = mgard_tpu.lossless_type.Huffman
+    with pytest.raises(ValueError):
+        compress_sharded(v, tol=1e-2, config=cfg, mesh=mesh)
+
+
+def test_decompress_sharded_roundtrip(mesh):
+    v = _field((8 * 9, 17, 9))
+    blob, st = compress_sharded(v, tol=1e-2, s=math.inf, mesh=mesh)
+    assert int(st) == 0
+    out, st2 = decompress_sharded(blob, mesh=mesh)
+    assert int(st2) == 0
+    assert out.shape == v.shape
+    assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_decompress_sharded_reads_single_device_blob(mesh):
+    """decompress_sharded must read blobs written by the regular
+    single-device compress() (BFX backend, domain-decomposed)."""
+    v = _field((64, 9, 9))
+    cfg = mgard_tpu.Config()
+    cfg.domain_decomposition = mgard_tpu.domain_decomposition_type.Variable
+    cfg.domain_decomposition_dim = 0
+    cfg.domain_decomposition_sizes = [8] * 8
+    blob, st = mgard_tpu.compress(v, tol=1e-2, config=cfg)
+    assert int(st) == 0
+    out, st2 = decompress_sharded(blob, mesh=mesh)
+    assert int(st2) == 0
+    assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_decompress_sharded_remainder_and_f64(mesh):
+    rng = np.random.default_rng(11)
+    v = rng.standard_normal((8 * 3 + 2, 9, 9)).astype(np.float64)
+    blob, st = compress_sharded(v, tol=1e-8, s=math.inf, mesh=mesh)
+    assert int(st) == 0
+    out, st2 = decompress_sharded(blob, mesh=mesh)
+    assert int(st2) == 0
+    assert out.dtype == np.float64
+    assert np.max(np.abs(out - v)) <= 1e-8
