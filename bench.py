@@ -12,13 +12,15 @@ BFX unpack -> dequantize -> recompose). Host<->device bulk staging is
 excluded: on this rig the accelerator is behind a ~4 MB/s relay tunnel that
 would measure the tunnel, not the compressor.
 
-Timing method: each rep is fully synced (one-element readback of the
-output as the sync point — block_until_ready returns early through this
-rig's relay), and the separately-measured scalar-readback floor (~28 ms
-of pure tunnel latency, not device time) is subtracted. Dispatching reps
-back-to-back without syncing is NOT used: queued whole-pipeline
-executions hold their output buffers and the resulting HBM pressure
-stalls the device.
+Timing method: each rep is synced by exactly ONE relay round trip (a
+one-element readback of the output — block_until_ready returns early
+through this rig's relay AND costs its own ~25 ms round trip, so it is
+not used in the timed loop; measured in scripts/prof_calib.py: a trivial
+537 MB elementwise op times at 2.8 ms with one sync vs 27.6 ms with two).
+The separately-measured readback floor (~25 ms of pure tunnel latency,
+not device time) is subtracted. Dispatching reps back-to-back without
+syncing is NOT used: queued whole-pipeline executions hold their output
+buffers and the resulting HBM pressure stalls the device.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
@@ -136,12 +138,12 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
 
     def timed(fn, *args):
         out = fn(*args)
-        jax.block_until_ready(out)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
             out = fn(*args)
-            jax.block_until_ready(out)
+            # ONE sync: the tiny readback (see module docstring)
             _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
             best = min(best, time.perf_counter() - t0)
         return max(best - floor, 1e-6)

@@ -61,6 +61,8 @@ def _get(argv, *names, default=None, nargs=1):
 _LOSSLESS = {
     "bfx": "BFX",
     "bfx-zstd": "BFX_Zstd",
+    "bfp": "BFP",
+    "bfp-zstd": "BFP_Zstd",
     "huffman": "Huffman",
     "huffman-lz4": "Huffman_LZ4",
     "huffman-zstd": "Huffman_Zstd",

@@ -80,6 +80,11 @@ class Config:
     # Default/Hybrid/Adaptive/Null): "zlib" (host), "bfx" (device codec,
     # used for planes large enough to amortize), or "none".
     mdr_level_compressor: str = "zlib"
+    # MDR interleaver (reference: MDR-X/Interleaver/): "direct" =
+    # level-linearized nested-box slabs; "blocked" = 4^D spatial tiles
+    # within each slab (locality-aware plane packing, pure
+    # reshape/transpose)
+    mdr_interleaver: str = "direct"
 
 
     # --- hybrid refactoring ----------------------------------------------
@@ -102,6 +107,11 @@ class Config:
     # BFX superblock size in 32-symbol blocks (None = platform default;
     # set by utils.autotuner.apply_autotune from the persistent table).
     bfx_sb_blocks: Optional[int] = None
+    # BFP (lossless/bfp.py) base plane count (0 = auto from the first
+    # stream's width histogram, sticky per stream size) and residual plane
+    # capacity (0 = default 8).
+    bfp_base_planes: int = 0
+    bfp_resid_planes: int = 0
 
     def apply_autotune(self, shape, dtype):
         """Overwrite tunable knobs from the persistent autotuner table

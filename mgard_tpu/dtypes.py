@@ -61,6 +61,11 @@ class lossless_type(enum.IntEnum):
     # with in-stream wide-value support (no outlier side-channel needed).
     BFX = 8
     BFX_Zstd = 9
+    # TPU-native v3: dense base planes + narrow residual tree + exception
+    # spill (lossless/bfp.py) — same symbol model as BFX at ~5x less VPU
+    # condensation work.
+    BFP = 10
+    BFP_Zstd = 11
 
 
 class bitplane_encoding_type(enum.IntEnum):

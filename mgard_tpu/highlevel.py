@@ -90,6 +90,8 @@ def _prep_huffman(config: Config) -> bool:
         lossless_type.LZ4,
         lossless_type.BFX,
         lossless_type.BFX_Zstd,
+        lossless_type.BFP,
+        lossless_type.BFP_Zstd,
     )
 
 
@@ -105,7 +107,21 @@ def _raw_symbol_backend(lt: lossless_type) -> bool:
     """Backends that take raw signed int32 symbols of any magnitude
     (in-stream wide-value support), so quantization needs neither the
     dictionary shift nor the outlier side-list."""
-    return lt in (lossless_type.BFX, lossless_type.BFX_Zstd)
+    return lt in (
+        lossless_type.BFX,
+        lossless_type.BFX_Zstd,
+        lossless_type.BFP,
+        lossless_type.BFP_Zstd,
+    )
+
+
+def _raw_codec(lt: lossless_type):
+    """The device codec module + zstd-stage flag for a raw-symbol backend."""
+    if lt in (lossless_type.BFP, lossless_type.BFP_Zstd):
+        from .lossless import bfp as mod
+    else:
+        from .lossless import bfx as mod
+    return mod, lt in (lossless_type.BFX_Zstd, lossless_type.BFP_Zstd)
 
 
 # ----------------------------------------------------------------------
@@ -318,7 +334,6 @@ def _dispatch_subdomain(
     single_dim = config.decomposition == decomposition_type.SingleDim
     raw = _raw_symbol_backend(config.lossless)
     if config.decomposition == decomposition_type.Hybrid and s_inf and raw:
-        from .lossless import bfx
         from .ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
 
         nl = max(1, min(3, int(config.num_local_refactoring_level)))
@@ -332,29 +347,33 @@ def _dispatch_subdomain(
             fused=_hybrid_fused_ok(padded, hier.dtype),
             zgroup=bool(config.hybrid_level_grouping),
         )
-        return ("bfx", bfx.encode_device(sym, getattr(config, "bfx_sb_blocks", None)))
+        return ("raw", _raw_encode_device(sym, config))
     if raw:
-        from .lossless import bfx
-
         sym = _compress_core_sym(
             v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
         )
-        return (
-            "bfx",
-            bfx.encode_device(sym.ravel(), getattr(config, "bfx_sb_blocks", None)),
-        )
+        return ("raw", _raw_encode_device(sym.ravel(), config))
     return ("generic", v, hier, quantizers, single_dim)
+
+
+def _raw_encode_device(sym, config: Config):
+    mod, _ = _raw_codec(config.lossless)
+    from .lossless import bfp as _bfp
+
+    if mod is _bfp:
+        return mod.encode_device(sym, config)
+    return mod.encode_device(sym, getattr(config, "bfx_sb_blocks", None))
 
 
 def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
                          orthogonal: bool, prep: bool) -> bytes:
     """Host phase: sync the dispatched state and build the payload bytes."""
-    if state[0] == "bfx":
-        from .lossless import bfx
+    if state[0] == "raw":
         from .lossless.registry import _HDR as _LHDR
 
-        inner = bfx.serialize_device(state[1])
-        if config.lossless == lossless_type.BFX_Zstd:
+        mod, zstd_stage = _raw_codec(config.lossless)
+        inner = mod.serialize_device(state[1])
+        if zstd_stage:
             from .lossless import host as _host
 
             inner = _host.zstd_compress(inner, config.zstd_compress_level)
@@ -689,18 +708,20 @@ def decompress(
 
         out = np.empty(work_shape, dtype)
         coords_list = meta.coords
-        roi_mults = None
-        for i in range(S):
-            (sec_len,) = struct.unpack_from("<Q", blob, off)
-            off += 8
-            sec_end = off + sec_len
+
+        def _dispatch_decompress(i, pos):
+            """Parse subdomain i's section and dispatch its device pipeline
+            WITHOUT synchronizing; returns (device array, slices). The
+            caller overlaps subdomain i+1's dispatch with materializing i —
+            the decompress-side double buffering the reference does in
+            decompress_pipeline_gpu (GPUPipelines.hpp:262)."""
+            roi_mults = None
             sls = dd.subdomain_slices(i)
             sub_coords = (
                 [c[sl] for c, sl in zip(coords_list, sls)] if coords_list else None
             )
             hier = get_hierarchy(dd.subdomain_shape(i), dtype, sub_coords, cfg)
 
-            pos = off
             if meta.roi_enabled:
                 (mz_len,) = struct.unpack_from("<Q", blob, pos)
                 pos += 8
@@ -796,8 +817,25 @@ def decompress(
                     s_inf,
                     single_dim,
                 )
-            out[sls] = np.asarray(rec)
-            off = sec_end
+            return rec, sls
+
+        # depth-2 deserialize/device overlap (mirror of the compress-side
+        # pipeline; gated by config.prefetch like the reference's)
+        overlap = bool(cfg.prefetch) and S > 1
+        pending = None
+        for i in range(S):
+            (sec_len,) = struct.unpack_from("<Q", blob, off)
+            off += 8
+            state = _dispatch_decompress(i, off)
+            if not overlap:
+                out[state[1]] = np.asarray(state[0])
+            else:
+                if pending is not None:
+                    out[pending[1]] = np.asarray(pending[0])
+                pending = state
+            off += sec_len
+        if pending is not None:
+            out[pending[1]] = np.asarray(pending[0])
         if meta.adjusted:
             out = out[tuple(slice(0, s) for s in shape)]
         t_total.end()

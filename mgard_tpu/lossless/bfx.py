@@ -81,8 +81,11 @@ def _zigzag(d):
 
 
 def _unzigzag(z):
-    zi = z.astype(jnp.int32)
-    return (zi >> 1) ^ -(zi & 1)
+    # the halving shift must be LOGICAL: an arithmetic int32 shift corrupts
+    # codes >= 2^31 (symbols with |value| >= 2^30), found by the BFP
+    # extreme-magnitude round-trip test
+    u = z.astype(jnp.uint32)
+    return ((u >> 1) ^ (jnp.uint32(0) - (u & jnp.uint32(1)))).astype(jnp.int32)
 
 
 def _bit_transpose32(zt):

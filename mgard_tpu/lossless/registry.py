@@ -68,6 +68,12 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
         inner = bfx.encode(quantized_flat, config)
         if lt == lossless_type.BFX_Zstd:
             inner = host.zstd_compress(inner, config.zstd_compress_level)
+    elif lt in (lossless_type.BFP, lossless_type.BFP_Zstd):
+        from . import bfp
+
+        inner = bfp.encode(quantized_flat, config)
+        if lt == lossless_type.BFP_Zstd:
+            inner = host.zstd_compress(inner, config.zstd_compress_level)
     else:
         raise ValueError(f"unsupported lossless backend {lt}")
     return struct.pack(_HDR, int(lt), len(inner)) + inner
@@ -127,5 +133,12 @@ def lossless_decompress(data: bytes, offset: int = 0):
         if lt == lossless_type.BFX_Zstd:
             inner = host.zstd_decompress(bytes(inner))
         syms, _ = bfx.decode(bytes(inner))
+        return syms, consumed
+    if lt in (lossless_type.BFP, lossless_type.BFP_Zstd):
+        from . import bfp
+
+        if lt == lossless_type.BFP_Zstd:
+            inner = host.zstd_decompress(bytes(inner))
+        syms, _ = bfp.decode(bytes(inner))
         return syms, consumed
     raise ValueError(f"unsupported lossless backend {lt}")

@@ -8,10 +8,18 @@ incremental reconstruction.
 """
 
 from .api import (  # noqa: F401
+    DecomposedMDR,
     MDReconstruct,
+    MDReconstructDecomposed,
     MDRequest,
+    MDRequestDecomposed,
     MDRefactor,
+    MDRefactorDecomposed,
     ReconstructedData,
     RefactoredData,
     RefactoredMetadata,
+    read_mdr_metadata,
+    read_mdr_planes,
+    retrieve_size,
+    write_mdr,
 )

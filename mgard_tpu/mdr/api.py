@@ -80,6 +80,8 @@ class RefactoredMetadata:
     # recompute the identical segment order (ADVICE r2: an s passed at write
     # time but not at read time silently corrupted plane offsets)
     reorg_s: float = float("inf")
+    # interleaver mode (reference: MDR-X/Interleaver/: Direct=0, Blocked=1)
+    interleaver: int = 0
 
     @property
     def sign_rows(self) -> int:
@@ -99,6 +101,7 @@ class RefactoredMetadata:
             1 if self.reorganized else 0,
             float(self.reorg_s),
         )
+        body += struct.pack("<B", int(self.interleaver))
         for n in self.shape:
             body += struct.pack("<Q", n)
         if self.coords is not None:
@@ -129,6 +132,8 @@ class RefactoredMetadata:
             "<BBIQBBBBd", body, p
         )
         p += struct.calcsize("<BBIQBBBBd")
+        (ilv,) = struct.unpack_from("<B", body, p)
+        p += 1
         shape = []
         for _ in range(nd):
             (n,) = struct.unpack_from("<Q", body, p)
@@ -173,6 +178,7 @@ class RefactoredMetadata:
             orthogonal=bool(orth),
             reorganized=bool(reorg),
             reorg_s=float(reorg_s),
+            interleaver=int(ilv),
         )
         return meta, 16 + size
 
@@ -190,7 +196,8 @@ class ReconstructedData:
 
 
 # ----------------------------------------------------------------------
-def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool):
+def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool,
+                     interleaver: int = 0):
     L = hier.l_target
     enc = (
         bitplane.encode_kernel_negabinary if negabinary else bitplane.encode_kernel
@@ -201,7 +208,7 @@ def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool
         dec = decompose(v, hier, orthogonal=orthogonal)
         out = []
         for l in range(L + 1):
-            stream = interleave_level(dec, hier, l)
+            stream = interleave_level(dec, hier, l, interleaver)
             pad = (-stream.shape[0]) % bitplane.LANES
             if pad:
                 stream = jnp.concatenate([stream, jnp.zeros((pad,), stream.dtype)])
@@ -230,11 +237,34 @@ def MDRefactor(
     negabinary = config.mdr_encoding == bitplane_encoding_type.NegaBinary
     orthogonal = bool(config.mdr_orthogonal_basis)
 
-    results = _refactor_device(hier, B, negabinary, orthogonal)(jnp.asarray(arr))
+    interleaver = {"direct": 0, "blocked": 1}[
+        getattr(config, "mdr_interleaver", "direct")
+    ]
+    results = _refactor_device(hier, B, negabinary, orthogonal, interleaver)(
+        jnp.asarray(arr)
+    )
 
     levels = []
     planes_data: List[List[bytes]] = []
     lvl_codec = getattr(config, "mdr_level_compressor", "zlib")
+    # Device level-compression runs as a two-phase pipeline: dispatch the
+    # encode of EVERY (level, plane) row first with no host sync (XLA queues
+    # them back-to-back on device), then serialize. Replaces round-2's
+    # serial per-plane host loop (reference counterpart: the batched
+    # DefaultLevelCompressor, MDR-X/LosslessCompressor/).
+    dispatched: List[List] = []
+    if lvl_codec == "bfx":
+        from ..lossless import bfx as _bfx
+
+        for planes, _exp, _em, _es in results:
+            row = []
+            for p in range(planes.shape[0]):
+                if planes.shape[1] >= 8192:
+                    row.append(_bfx.encode_device(
+                        jax.lax.bitcast_convert_type(planes[p], jnp.int32)))
+                else:
+                    row.append(None)
+            dispatched.append(row)
     for l, (planes, exp, err_max, err_sq) in enumerate(results):
         planes_h = np.asarray(planes)  # (B+1 or B, m) uint32
         n = level_num_elems(hier, l)
@@ -246,10 +276,10 @@ def MDRefactor(
                 z = zlib.compress(raw_bytes, 1)
                 if len(z) < len(best):
                     best, codec = z, PLANE_ZLIB
-            elif lvl_codec == "bfx" and planes_h.shape[1] >= 8192:
+            elif lvl_codec == "bfx" and dispatched[l][p] is not None:
                 from ..lossless import bfx as _bfx
 
-                z = _bfx.encode(planes_h[p].view(np.int32))
+                z = _bfx.serialize_device(dispatched[l][p])
                 if len(z) < len(best):
                     best, codec = z, PLANE_BFX
             blobs.append(best)
@@ -270,6 +300,7 @@ def MDRefactor(
         coords=coords_list,
         encoding=config.mdr_encoding,
         orthogonal=orthogonal,
+        interleaver=interleaver,
     )
     return meta, RefactoredData(planes=planes_data)
 
@@ -301,15 +332,17 @@ _RECON_CACHE: dict = {}
 
 
 def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
-                        negabinary: bool, orthogonal: bool, dtype):
+                        negabinary: bool, orthogonal: bool, dtype,
+                        interleaver: int = 0):
     """Fully-jitted progressive reconstruct: per-level bitplane decode,
     in-graph deinterleave (static slab writes), and recompose — the device
     counterpart of the reference's BPDecoderRegisterBlockKernel +
     ProgressiveReconstruct chain (no per-plane host loops)."""
-    key = (id(hier), B, counts, negabinary, orthogonal, np.dtype(dtype).name)
+    key = (id(hier), B, counts, negabinary, orthogonal, np.dtype(dtype).name,
+           interleaver)
     if key in _RECON_CACHE:
         return _RECON_CACHE[key]
-    from .components import level_regions
+    from .components import level_regions, region_deinterleave
 
     dec_fn = (
         bitplane.decode_kernel_negabinary if negabinary else bitplane.decode_kernel
@@ -317,19 +350,23 @@ def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
 
     @jax.jit
     def fn(planes_list, exps):
-        dec = jnp.zeros(hier.shape, jnp.float64)
+        # accumulate in the data dtype: f64 is emulated (slow) on TPU and
+        # adds no accuracy below the dropped-plane error (VERDICT r2 #7)
+        dec = jnp.zeros(hier.shape, dtype)
         for l, planes in enumerate(planes_list):
             b = counts[l]
             if b == 0:
                 continue
-            vals = dec_fn(planes, exps[l], B, b)
+            vals = dec_fn(planes, exps[l], B, b).astype(dtype)
             off = 0
             for r in level_regions(hier, l):
                 shp = tuple(s.stop - s.start for s in r)
                 n = int(np.prod(shp))
-                dec = dec.at[r].set(vals[off : off + n].reshape(shp))
+                dec = dec.at[r].set(
+                    region_deinterleave(vals[off : off + n], shp, interleaver)
+                )
                 off += n
-        return recompose(dec.astype(dtype), hier, orthogonal=orthogonal)
+        return recompose(dec, hier, orthogonal=orthogonal)
 
     _RECON_CACHE[key] = fn
     return fn
@@ -380,7 +417,8 @@ def MDReconstruct(
         exps.append(lm.exp)
 
     fn = _reconstruct_device(
-        hier, B, tuple(counts), negabinary, bool(meta.orthogonal), dtype
+        hier, B, tuple(counts), negabinary, bool(meta.orthogonal), dtype,
+        int(getattr(meta, "interleaver", 0)),
     )
     rec = np.asarray(fn(tuple(planes_list), jnp.asarray(exps, jnp.int32)))
     out = state or ReconstructedData()

@@ -40,15 +40,61 @@ def level_regions(hier: Hierarchy, l: int) -> List[Tuple[slice, ...]]:
     return regions
 
 
-def interleave_level(dec, hier: Hierarchy, l: int):
+# interleaver modes (reference: MDR-X/Interleaver/{Direct,Blocked,SFC}
+# Interleaver.hpp). Blocked emits each region in BxBx..xB spatial tiles so
+# nearby coefficients share bitplane words — implemented as pure
+# reshape/transpose (scatter-free); a region whose dims don't all divide B
+# falls back to direct order (deterministic rule shared by both sides).
+INTERLEAVE_DIRECT = 0
+INTERLEAVE_BLOCKED = 1
+BLOCK_B = 4
+
+
+def _blocked_ok(shape, B: int = BLOCK_B) -> bool:
+    return len(shape) >= 2 and all(s % B == 0 and s >= B for s in shape)
+
+
+def region_interleave(box, mode: int):
+    """Flatten one region box in the selected interleave order."""
+    shape = tuple(int(s) for s in box.shape)
+    if mode == INTERLEAVE_BLOCKED and _blocked_ok(shape):
+        D = len(shape)
+        B = BLOCK_B
+        split = []
+        for s in shape:
+            split += [s // B, B]
+        x = box.reshape(split)
+        perm = tuple(range(0, 2 * D, 2)) + tuple(range(1, 2 * D, 2))
+        return x.transpose(perm).ravel()
+    return box.ravel()
+
+
+def region_deinterleave(flat, shape, mode: int):
+    """Inverse of region_interleave -> array of `shape`."""
+    shape = tuple(int(s) for s in shape)
+    if mode == INTERLEAVE_BLOCKED and _blocked_ok(shape):
+        D = len(shape)
+        B = BLOCK_B
+        grid = [s // B for s in shape]
+        x = flat.reshape(tuple(grid) + (B,) * D)
+        perm = []
+        for d in range(D):
+            perm += [d, D + d]
+        y = x.transpose(perm)
+        return y.reshape(shape)
+    return flat.reshape(shape)
+
+
+def interleave_level(dec, hier: Hierarchy, l: int, mode: int = INTERLEAVE_DIRECT):
     """Extract level l's coefficients as one flat stream."""
     import jax.numpy as jnp
 
-    parts = [dec[r].ravel() for r in level_regions(hier, l)]
+    parts = [region_interleave(dec[r], mode) for r in level_regions(hier, l)]
     return jnp.concatenate(parts) if len(parts) > 1 else parts[0]
 
 
-def deinterleave_level(out, stream, hier: Hierarchy, l: int):
+def deinterleave_level(out, stream, hier: Hierarchy, l: int,
+                       mode: int = INTERLEAVE_DIRECT):
     """Write a flat level stream back into the nested-box array `out`
     (a NumPy array, modified in place)."""
     import numpy as np
@@ -57,7 +103,9 @@ def deinterleave_level(out, stream, hier: Hierarchy, l: int):
     for r in level_regions(hier, l):
         shape = tuple(s.stop - s.start for s in r)
         n = int(np.prod(shape))
-        out[r] = np.asarray(stream[off : off + n]).reshape(shape)
+        out[r] = np.asarray(
+            region_deinterleave(stream[off : off + n], shape, mode)
+        )
         off += n
     return out
 

@@ -1,3 +1,7 @@
+from .mdr_sharded import (  # noqa: F401
+    MDReconstructSharded,
+    MDRefactorSharded,
+)
 from .pipeline import (  # noqa: F401
     compress_sharded,
     compress_shards_device,

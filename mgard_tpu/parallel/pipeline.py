@@ -194,16 +194,22 @@ def compress_sharded(
         norm_type,
     )
     from ..formats.metadata import Metadata
-    from ..highlevel import _compress_subdomain, _empty_outliers, _norm_kernel
+    from ..highlevel import (
+        _compress_subdomain,
+        _empty_outliers,
+        _norm_kernel,
+        _raw_codec,
+        _raw_encode_device,
+        _raw_symbol_backend,
+    )
     from ..hierarchy import get_hierarchy
-    from ..lossless import bfx
     from ..lossless.registry import _HDR as _LHDR
 
     config = config or Config()
-    if config.lossless not in (lossless_type.BFX, lossless_type.BFX_Zstd):
+    if not _raw_symbol_backend(config.lossless):
         raise ValueError(
-            "compress_sharded runs the raw-symbol (BFX-class) pipeline; set "
-            "config.lossless to BFX or BFX_Zstd (use mgard_tpu.compress for "
+            "compress_sharded runs the raw-symbol (BFX/BFP-class) pipeline; "
+            "set config.lossless accordingly (use mgard_tpu.compress for "
             "other backends)"
         )
     if config.decomposition == decomposition_type.Hybrid:
@@ -251,12 +257,13 @@ def compress_sharded(
         # the in-graph norm already divides by total dof; nothing to fix up
         pass
 
-    # ---- per-subdomain BFX encode + serialize (host loop over shards)
+    # ---- per-subdomain entropy encode + serialize (host loop over shards)
+    mod, zstd_stage = _raw_codec(config.lossless)
     sections = []
     for i in range(n_dev):
-        state = bfx.encode_device(sym[i].ravel(), getattr(config, "bfx_sb_blocks", None))
-        inner = bfx.serialize_device(state)
-        if config.lossless == lossless_type.BFX_Zstd:
+        state = _raw_encode_device(sym[i].ravel(), config)
+        inner = mod.serialize_device(state)
+        if zstd_stage:
             from ..lossless import host as _host
 
             inner = _host.zstd_compress(inner, config.zstd_compress_level)

@@ -57,3 +57,13 @@ def test_ratio_reasonable():
     ratio = s.nbytes / len(blob)
     # ~6-bit values + metadata: expect at least 3.5x on 32-bit symbols
     assert ratio > 3.5
+
+
+def test_extreme_magnitudes_roundtrip():
+    """Full-width symbols (|v| >= 2^30) must survive: the unzigzag halving
+    shift has to be logical, not arithmetic (r3 regression test)."""
+    sym = np.array(
+        [0, 1, -1, 2**31 - 1, -(2**31), 2**30, -(2**30) - 1] * 700, np.int32
+    )
+    out, used = bfx.decode(bfx.encode(sym))
+    np.testing.assert_array_equal(np.asarray(out), sym)

@@ -138,3 +138,53 @@ def test_decompress_sharded_remainder_and_f64(mesh):
     assert int(st2) == 0
     assert out.dtype == np.float64
     assert np.max(np.abs(out - v)) <= 1e-8
+
+
+def test_mdr_sharded_roundtrip(mesh):
+    """Sharded MDR refactor + sharded reconstruct (the reference's actual
+    distributed workload, pmdr-x-qoi.cpp) on the virtual mesh."""
+    from mgard_tpu.mdr import MDRequestDecomposed
+    from mgard_tpu.parallel import MDReconstructSharded, MDRefactorSharded
+
+    rng = np.random.default_rng(20)
+    v = rng.standard_normal((8 * 4, 9, 9)).astype(np.float32)
+    dmdr, (gmin, gmax) = MDRefactorSharded(v)
+    assert abs(gmin - v.min()) < 1e-6 and abs(gmax - v.max()) < 1e-6
+    assert len(dmdr.metas) == 8
+    for tol in (1e-1, 1e-2):
+        plans = MDRequestDecomposed(dmdr, tol)
+        # homogeneous data -> shared plan; take the per-level max for safety
+        shared = [max(p[l] for p in plans) for l in range(len(plans[0]))]
+        out = MDReconstructSharded(dmdr, shared)
+        assert np.max(np.abs(out - v)) <= tol
+
+
+def test_mdr_sharded_matches_host_decomposed(mesh):
+    """Sharded refactor output must reconstruct identically through the
+    host (MDReconstructDecomposed) path."""
+    from mgard_tpu.mdr import MDReconstructDecomposed, MDRequestDecomposed
+    from mgard_tpu.parallel import MDRefactorSharded
+
+    rng = np.random.default_rng(21)
+    v = rng.standard_normal((8 * 3, 9, 9)).astype(np.float32)
+    dmdr, _ = MDRefactorSharded(v)
+    plans = MDRequestDecomposed(dmdr, 1e-2)
+    out = MDReconstructDecomposed(dmdr, plans)
+    assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_mdr_sharded_qoi_plan(mesh):
+    """QoI-driven retrieval planning over sharded MDR output (the
+    pmdr-x-qoi pipeline shape: refactor per rank, plan jointly)."""
+    from mgard_tpu.mdr import MDRequestDecomposed
+    from mgard_tpu.parallel import MDReconstructSharded, MDRefactorSharded
+
+    rng = np.random.default_rng(22)
+    v = (rng.standard_normal((8 * 4, 9, 9)) + 3.0).astype(np.float32)
+    dmdr, (gmin, gmax) = MDRefactorSharded(v)
+    # QoI: V_TOT-style scale from the global range (the Allreduce product)
+    qoi_tol = 1e-2 * max(abs(gmin), abs(gmax))
+    plans = MDRequestDecomposed(dmdr, qoi_tol)
+    shared = [max(p[l] for p in plans) for l in range(len(plans[0]))]
+    out = MDReconstructSharded(dmdr, shared)
+    assert np.max(np.abs(out - v)) <= qoi_tol

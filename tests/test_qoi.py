@@ -93,3 +93,73 @@ def test_multilevel_qoi_beats_holder():
         if s == 0.0:
             # the looser data tolerance must pay off in blob size
             assert len(blob_m) <= len(blob_h)
+
+
+def test_qoi_finite_s_values():
+    """Arbitrary finite s through the multilevel Riesz bound (r2 VERDICT #9:
+    the reference handles any s via TensorQuantityOfInterest component
+    norms; here the bound comes from the exact recompose adjoint)."""
+    import numpy as np
+
+    import mgard_tpu
+    from mgard_tpu.qoi import TensorQuantityOfInterest, compress_qoi
+
+    shape = (17, 33)
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(shape).astype(np.float64)
+    w = rng.random(shape) / v.size
+    qoi = TensorQuantityOfInterest(w)
+    qtol = 1e-5
+    for s in (0.5, -0.5, 1.0):
+        blob, st, data_tol = compress_qoi(v, qoi, qtol, s=s)
+        assert int(st) == 0 and data_tol > 0
+        out, st2 = mgard_tpu.decompress(blob)
+        assert int(st2) == 0
+        assert abs(qoi(out) - qoi(v)) <= qtol, s
+
+
+def test_qoi_decomposed_domain():
+    """QoI bound across DomainDecomposer subdomains (per-subdomain Riesz
+    factors summed against the local tolerance rule)."""
+    import numpy as np
+
+    import mgard_tpu
+    from mgard_tpu.dtypes import domain_decomposition_type
+    from mgard_tpu.qoi import TensorQuantityOfInterest, compress_qoi
+
+    shape = (24, 9, 9)
+    rng = np.random.default_rng(3)
+    v = rng.standard_normal(shape).astype(np.float32)
+    w = np.full(shape, 1.0 / v.size)
+    qoi = TensorQuantityOfInterest(w)
+    cfg = mgard_tpu.Config()
+    cfg.domain_decomposition = domain_decomposition_type.Variable
+    cfg.domain_decomposition_dim = 0
+    cfg.domain_decomposition_sizes = [8, 8, 8]
+    qtol = 1e-4
+    for s in (float("inf"), 0.0, 0.5):
+        blob, st, _ = compress_qoi(v, qoi, qtol, s=s, config=cfg)
+        assert int(st) == 0
+        out, st2 = mgard_tpu.decompress(blob)
+        assert int(st2) == 0
+        assert abs(qoi(out) - qoi(v)) <= qtol, s
+
+
+def test_qoi_nonuniform_coords():
+    import numpy as np
+
+    import mgard_tpu
+    from mgard_tpu.qoi import TensorQuantityOfInterest, compress_qoi
+
+    shape = (17, 17)
+    rng = np.random.default_rng(4)
+    coords = [np.cumsum(0.5 + rng.random(s)) for s in shape]
+    v = rng.standard_normal(shape).astype(np.float64)
+    w = rng.random(shape) / v.size
+    qoi = TensorQuantityOfInterest(w)
+    qtol = 1e-5
+    blob, st, _ = compress_qoi(v, qoi, qtol, s=0.0, coords=coords)
+    assert int(st) == 0
+    out, st2 = mgard_tpu.decompress(blob)
+    assert int(st2) == 0
+    assert abs(qoi(out) - qoi(v)) <= qtol
