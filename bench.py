@@ -2,13 +2,13 @@
 
 Config: 512^3 float32 smooth field, abs eb=1e-3, s=inf, Hybrid transform
 (blockwise 8^3 local levels fused in one Pallas pass + global remainder;
-reference HybridHierarchyCompressor), BFX lossless (the TPU-native
-default; see Config.lossless).
+reference HybridHierarchyCompressor), BFP lossless (the TPU-native
+width-sorted prefix codec, lossless/bfp.py).
 Matches the reference's own throughput-timer semantics (Timer around
 Compressor::Compress/Decompress, device arrays in and out —
 reference: CompressionLowLevel/Compressor.hpp:205-289): the timed region is
-the full device pipeline (decompose -> levelwise quantize -> BFX pack, and
-BFX unpack -> dequantize -> recompose). Host<->device bulk staging is
+the full device pipeline (decompose -> levelwise quantize -> BFP pack, and
+BFP unpack -> dequantize -> recompose). Host<->device bulk staging is
 excluded: on this rig the accelerator is behind a ~4 MB/s relay tunnel that
 would measure the tunnel, not the compressor.
 
@@ -65,7 +65,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     import mgard_tpu
     import mgard_tpu.highlevel as H
     from mgard_tpu.hierarchy import get_hierarchy
-    from mgard_tpu.lossless import bfx
+    from mgard_tpu.lossless import bfp
     from mgard_tpu.ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
 
     on_tpu = jax.default_backend() == "tpu"
@@ -80,48 +80,48 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     nbytes = n * n * n * 4
     N = n * n * n
     Ntot = N + int(np.prod(rem_hier.shape))
-    sb = bfx.SB_BLOCKS if on_tpu else bfx.SB_BLOCKS_SMALL
-    if on_tpu:
-        # honor the persistent autotuner table when this size was profiled
-        from mgard_tpu.utils.autotuner import lookup
-
-        tuned = (lookup(np.float32, Ntot) or {}).get("bfx_sb_blocks")
-        if tuned and Ntot >= tuned * 32:
-            sb = int(tuned)
-    align = bfx.ALIGN if on_tpu else 1
-    npad = (Ntot + sb * 32 - 1) // (sb * 32) * (sb * 32)
+    sb = bfp.SB_BLOCKS if on_tpu else bfp.SB_BLOCKS_SMALL
+    npad = bfp._pad_to(Ntot, sb)
+    NB = npad // 32
+    NC = NB // bfp.CHUNK
+    K, E = 6, bfp.E_DEFAULT
+    exc_cap = 8192
 
     quant = jnp.asarray(q, jnp.float32)
 
     @jax.jit
     def compress_fn(v, quant):
-        sym = H._compress_core_hybrid(v, quant, padded, nl, rem_hier, fused)
+        sym = H._compress_core_hybrid(v, quant, padded, nl, rem_hier, fused,
+                                      zgroup=True)
         if npad != Ntot:
             sym = jnp.concatenate([sym, jnp.zeros(npad - Ntot, jnp.int32)])
-        return bfx.encode_core(sym, sb, on_tpu, align)
+        return bfp.encode_core(sym, K, E, sb, exc_cap, on_tpu)
 
     @jax.jit
-    def decompress_fn(flat2d, widths, quant):
-        sym = bfx.decode_core(flat2d, widths, sb, on_tpu, align)[:Ntot]
+    def decompress_fn(base, crl, resid2d, exc_ids, exc_blocks, quant):
+        sym = bfp.decode_core(base, crl, resid2d, exc_ids, exc_blocks,
+                              K, E, sb, on_tpu, NB)[:Ntot]
         return H._decompress_core_hybrid(
-            sym, quant, shape, padded, nl, rem_hier, fused
+            sym, quant, shape, padded, nl, rem_hier, fused, zgroup=True
         )
 
     # ---- compile + correctness
     t0 = time.time()
-    flat2d, widths, total = compress_fn(v, quant)
-    total_i = int(total)
+    out = compress_fn(v, quant)
+    base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
+    total_i = int(resid_rows) * 128
     tc_compile = time.time() - t0
     print(f"# compile+first compress: {tc_compile:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    rec = decompress_fn(flat2d, widths, quant)
+    rec = decompress_fn(base, crl, resid2d, exc_ids, exc_blocks, quant)
     err = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, v))
     td_compile = time.time() - t0
     print(f"# compile+first decompress: {td_compile:.1f}s", file=sys.stderr)
 
     ok = err <= tol
-    comp_bytes = total_i * 4 + npad // 32 + 24
+    comp_bytes = (total_i * 4 + K * NB * 4 + NC // 2
+                  + int(exc_count) * (4 + 512) + 38)
     ratio = nbytes / comp_bytes
     print(f"# n={n} err={err:.3e} bound_ok={ok} ratio={ratio:.2f}",
           file=sys.stderr)
@@ -149,7 +149,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
         return max(best - floor, 1e-6)
 
     t_c = timed(compress_fn, v, quant)
-    t_d = timed(decompress_fn, flat2d, widths, quant)
+    t_d = timed(decompress_fn, base, crl, resid2d, exc_ids, exc_blocks, quant)
     print(
         f"# compress {t_c*1e3:.1f} ms ({nbytes/t_c/1e9:.2f} GB/s), "
         f"decompress {t_d*1e3:.1f} ms ({nbytes/t_d/1e9:.2f} GB/s)",
@@ -158,7 +158,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
 
     value = 2 * nbytes / (t_c + t_d) / 1e9
     result = {
-        "metric": f"device compress+decompress throughput, {n}^3 f32, eb=1e-3, Hybrid+BFX",
+        "metric": f"device compress+decompress throughput, {n}^3 f32, eb=1e-3, Hybrid+BFP",
         "value": round(value, 3),
         "unit": "GB/s",
         "vs_baseline": round(value / 50.0, 4),

@@ -1,52 +1,48 @@
-"""BFP — base-planes + narrow-residual bitplane codec (TPU fast path v3).
+"""BFP — width-sorted prefix bitplane codec (TPU fast path v3).
 
-Successor to BFX (lossless/bfx.py) built from round-3 profiling. Two
-findings drive the design:
+Successor to BFX (lossless/bfx.py). Round-3 kernel bisection on v5e
+(scripts/prof_bfp3.py) showed BFX/BFP2's log-depth variable-length merge
+tree costs ~20 ms of a 28.7 ms encode kernel at 512^3 — condensation, not
+the bit transforms, dominated. BFP3 removes condensation entirely:
 
-1. BFX's log-depth merge tree condenses variable-width block streams at
-   FULL 32-word capacity per block, and capacity — not content — is what
-   the roll tree pays for (measured 44 ms standalone at 512^3 f32 on v5e).
-2. Everything the codec does OUTSIDE the Pallas kernel (zigzag, the
-   (NB,32)->(32,NB) relayout, the 5-step bit-transpose butterfly) costs
-   more than the tree itself when expressed as whole-array XLA ops
-   (measured: XLA-side butterfly + relayout ~50 ms each way).
+  1. Blocks are STABLY SORTED by residual width within each superblock
+     (rank from 9 masked cumsums — a counting sort, no jnp.sort). After
+     sorting, the valid words of every residual plane j form a PREFIX of
+     the superblock (exactly the blocks with rl > j), so "condensing"
+     plane j is a contiguous slice of cnt_j words — zero shuffle work.
+  2. The kernel ORs each plane into a per-superblock VMEM buffer at its
+     row offset (dynamic sublane windows; plane tails are all-zero words
+     of narrower blocks, so overlapping windows merge losslessly), then
+     issues ONE capacity-sized DMA per superblock to a content-based row
+     offset. Later superblocks overwrite earlier ones' zero spill — the
+     sequential grid + per-instance DMA wait make this deterministic
+     (probe: scripts/probe_dynwin.py).
+  3. The permutation is never stored: decode recomputes the identical
+     counting sort from the nibble sidecar and un-sorts with one row
+     gather by rank.
 
-BFP therefore splits each 32-symbol block's bit-planes three ways so almost
-no words enter a condensation tree, and runs the ENTIRE per-superblock
-transform chain (zigzag -> VMEM transpose -> bit-transpose -> base/resid
-split -> residual merge tree -> placement DMA) inside ONE Pallas kernel
-reading natural-layout symbol tiles:
+Stream layout per block stays BFP2's three-way split: K dense base planes
+(stream-level K from the width histogram), E residual planes holding
+exactly rl = clip(width-K, 0, E) words per block, and rare exception
+blocks (width > K+E, ~0.1% on smooth data) shipped verbatim with ids.
+Reference counterpart: the fixed-length+outlier design of BlockDelta/cuSZp
+(reference: include/mgard-x/Lossless/BlockDelta/*.hpp); the sorted-prefix
+placement is this framework's own.
 
-  * **base**: the first K planes of every block, stored dense per
-    superblock — a static slice, zero condensation work. K is a
-    stream-level parameter chosen from the width histogram (sticky per
-    stream size).
-  * **residual**: planes K..K+E-1 (E=8 default), exactly as many as each
-    block needs (`rl = clip(width-K, 0, E)`), condensed per superblock by
-    the same scatter-free roll-merge tree as BFX — at capacity E instead
-    of 32 (~4-5x less VPU work). Per-block residual lengths travel as a
-    nibble sidecar.
-  * **exceptions**: the rare blocks wider than K+E (~0.1% on smooth data)
-    ship their 32 raw symbols verbatim with their block ids (row
-    gather/scatter on the major axis — the TPU-cheap direction).
-
-On the harvested 512^3 bench-field width distribution this costs ~7.5
-words/block vs exact-BFX's 7.51 — ratio parity. Reference counterpart:
-the fixed-length+outlier design of BlockDelta/cuSZp (reference:
-include/mgard-x/Lossless/BlockDelta/*.hpp, modes Fixed/Delta/Outlier);
-the base/residual/exception split is this framework's own.
-
-Blob format "BFP2" (little-endian):
-  header: <4sQQBBIIQ  magic, n, resid_total_words, K, E, sb_blocks, align,
-          exc_count>
-  nibbles: ceil(NB/2) bytes — per-block residual lengths, low nibble first
-  base:   NB*K u32 (per superblock: plane-major — plane j across the
-          superblock's blocks, j = 0..K-1)
-  resid:  resid_total_words u32 (per superblock: merge-schedule order =
-          blocks by bit-reversed in-superblock index; superblocks start at
-          align-word offsets, gap words 0)
-  exc ids: exc_count u32 (ascending block indices)
-  exc blocks: exc_count * 32 i32 raw symbols (block-major)
+Blob format "BFP3" (little-endian):
+  header:  <4sQQBBIQ  magic, n, resid_rows (128-word rows), K, E,
+           sb_blocks, exc_count>
+  nibbles: ceil(NC/2) bytes — per-CHUNK residual lengths (chunk = 4
+           blocks, max of the blocks' rl) in NATURAL chunk order, low
+           nibble first
+  base:    NB*K u32 (per superblock: plane-major, chunks in SORTED order,
+           blocks natural within chunk)
+  resid:   resid_rows * 128 u32. Per superblock: planes K..K+E-1 in order,
+           plane j holding the 4*ccnt_j words of the first ccnt_j sorted
+           chunks, zero-padded to a 128-word row boundary; superblocks
+           start at row boundaries.
+  exc ids: exc_count u32 (ascending NATURAL chunk indices)
+  exc chunks: exc_count * 128 i32 raw symbols (chunk-major)
 """
 
 from __future__ import annotations
@@ -59,15 +55,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.compact import masked_indices
-from .bfx import (
-    BS,
-    _bit_transpose32,
-    _lens_chain,
-    _merge_level,
-    _split_level,
-    _unzigzag,
-    _zigzag,
-)
+from .bfx import BS, _bit_transpose32, _unzigzag, _zigzag
 
 try:
     from jax.experimental import pallas as pl
@@ -80,9 +68,11 @@ except Exception:  # pragma: no cover
 SB_BLOCKS = 4096
 SB_BLOCKS_SMALL = 256
 E_DEFAULT = 8
+LANES = 128
+CHUNK = 4  # blocks per sort chunk (one 512 B gather row)
 
-_MAGIC = b"BFP2"
-_HDR = "<4sQQBBIIQ"
+_MAGIC = b"BFP3"
+_HDR = "<4sQQBBIQ"
 
 
 def _widths_from_max(mx):
@@ -90,201 +80,213 @@ def _widths_from_max(mx):
     return 32 - jax.lax.clz(mx.astype(jnp.uint32)).astype(jnp.int32)
 
 
-def _pack_resid_superblock(resid_cols, rl_cols):
-    """resid_cols (E, S) plane rows, rl_cols (1, S) lens -> condensed
-    (1, S*E) stream. Streams pair (i, i+S/2), identical merge schedule to
-    BFX at capacity E."""
-    S = resid_cols.shape[1]
-    x = resid_cols.T  # (S, E)
-    lens = rl_cols.reshape(S, 1)
-    while x.shape[0] > 1:
-        x, lens = _merge_level(x, lens)
-    return x
+# ----------------------------------------------------------------------
+# Counting sort (shared by encode and decode; MUST be bit-identical)
+# ----------------------------------------------------------------------
+def _sort_plan(rl2, E: int):
+    """Stable descending counting sort of rl2 (NSB, sb) in [0, E].
+
+    Returns (rank (NSB, sb) int32 — destination position of each natural
+    block, cnt (NSB, E) int32 — per-plane valid-word counts
+    cnt[:, j] = #(rl > j))."""
+    NSB, sb = rl2.shape
+    rank = jnp.zeros((NSB, sb), jnp.int32)
+    cnt_gt = jnp.zeros((NSB, 1), jnp.int32)  # blocks with rl > k
+    cnts = []
+    for k in range(E, -1, -1):
+        eq = (rl2 == k).astype(jnp.int32)
+        # dtype= pins i32: under jax_enable_x64 sum/cumsum promote to i64,
+        # which both poisons the scalar-prefetch operands (Mosaic is
+        # 32-bit-only) and doubles scatter/gather index traffic
+        prefix = jnp.cumsum(eq, axis=1, dtype=jnp.int32) - eq
+        rank = rank + eq * (cnt_gt + prefix)
+        cnts.append(cnt_gt)  # before adding bucket k: #(rl > k)
+        cnt_gt = cnt_gt + jnp.sum(eq, axis=1, keepdims=True, dtype=jnp.int32)
+    # cnts[i] corresponds to k = E-i; plane j needs #(rl > j), j in 0..E-1
+    cnt = jnp.concatenate([cnts[E - j] for j in range(E)], axis=1)
+    return rank.astype(jnp.int32), cnt.astype(jnp.int32)
 
 
-def _unpack_resid_superblock(stream, rl_cols):
-    """Inverse: (1, S*E) + (1, S) lens -> (E, S) plane rows."""
-    S = rl_cols.shape[1]
-    chain = _lens_chain(rl_cols.reshape(S, 1))
-    x = stream
-    for level in range(len(chain) - 2, -1, -1):
-        lens = chain[level]
-        x = _split_level(x, lens[: x.shape[0]], lens[x.shape[0] :])
-    return x.T  # (E, S)
-
-
-def _fwd_superblock(sym_tile, rl_row, K: int, E: int):
-    """Whole forward chain on one superblock tile (S, 32) int32 ->
-    (base (K, S) u32, resid stream (1, S*E) u32). Shared by the Pallas
-    kernel body and the XLA fallback."""
-    S = sym_tile.shape[0]
-    zz = _zigzag(sym_tile)  # (S, 32)
-    zt = _bit_transpose32(zz.T)  # (32, S) plane rows
-    base = zt[:K] if K else jnp.zeros((0, S), jnp.uint32)
-    resid = zt[K : K + E]
-    col = jax.lax.broadcasted_iota(jnp.int32, (E, S), 0)
-    resid = jnp.where(col < rl_row.reshape(1, S), resid, jnp.uint32(0))
-    stream = _pack_resid_superblock(resid, rl_row.reshape(1, S))
-    return base, stream
-
-
-def _inv_superblock(base, stream, rl_row, K: int, E: int):
-    """Inverse chain: (base (K, S), resid stream (1, S*E), rl (1, S)) ->
-    symbols (S, 32) int32 (planes >= K+E decode as zero; exception blocks
-    are patched by the caller)."""
-    S = rl_row.shape[-1]
-    resid = _unpack_resid_superblock(stream, rl_row.reshape(1, S))
-    col = jax.lax.broadcasted_iota(jnp.int32, (E, S), 0)
-    resid = jnp.where(col < rl_row.reshape(1, S), resid, jnp.uint32(0))
-    hi = 32 - K - E
-    rows = [base, resid]
-    if hi > 0:
-        rows.append(jnp.zeros((hi, S), jnp.uint32))
-    zt = jnp.concatenate(rows, axis=0)
-    zz = _bit_transpose32(zt).T  # (S, 32)
-    return _unzigzag(zz)
+def _plan_offsets(cnt, PR: int):
+    """From per-plane counts (NSB, E): plane row offsets within each
+    superblock, per-SB total rows, and global SB row offsets."""
+    rows = (cnt + (LANES - 1)) // LANES  # (NSB, E)
+    woff = jnp.cumsum(rows, axis=1, dtype=jnp.int32) - rows
+    tot = jnp.sum(rows, axis=1, dtype=jnp.int32)  # (NSB,)
+    sb_off = (jnp.cumsum(tot) - tot).astype(jnp.int32)
+    resid_rows = (sb_off[-1] + tot[-1]).astype(jnp.int32)
+    return rows.astype(jnp.int32), woff.astype(jnp.int32), sb_off, resid_rows
 
 
 # ----------------------------------------------------------------------
 # Pallas kernels: one pass per superblock, natural-layout tiles in/out
 # ----------------------------------------------------------------------
-def _enc_kernel(K, E, offs_ref, sym_ref, rl_ref, base_ref, out_ref, scratch, sem):
+def _enc_kernel(K, E, PR, woff_ref, sboff_ref, sym_ref, base_ref, out_ref,
+                buf, sem):
+    i = pl.program_id(0)
     S = sym_ref.shape[0]
-    base, stream = _fwd_superblock(sym_ref[...], rl_ref[...], K, E)
+    CAP = E * PR
+    zz = _zigzag(sym_ref[...])  # (S, 32)
+    zt = _bit_transpose32(zz.T)  # (32, S) plane rows
     if K:
-        base_ref[...] = base.reshape(1, K, S)
-    scratch[...] = stream.reshape(S * E // 128, 128)
-    i = pl.program_id(0)
+        base_ref[...] = zt[:K].reshape(1, K, S)
+    buf[...] = jnp.zeros_like(buf)
+    for j in range(E):
+        o = woff_ref[i * E + j]
+        cur = buf[pl.ds(o, PR)]
+        buf[pl.ds(o, PR)] = cur | zt[K + j].reshape(PR, LANES)
     dma = pltpu.make_async_copy(
-        scratch, out_ref.at[pl.ds(offs_ref[i], S * E // 128), :], sem
+        buf.at[pl.ds(0, CAP)], out_ref.at[pl.ds(sboff_ref[i], CAP)], sem
     )
     dma.start()
     dma.wait()
 
 
-def _dec_kernel(K, E, offs_ref, base_ref, rl_ref, flat_ref, out_ref, scratch, sem):
+def _dec_kernel(K, E, PR, woff_ref, sboff_ref, cnt_ref, base_ref, flat_ref,
+                out_ref, buf, sem):
     i = pl.program_id(0)
-    S = rl_ref.shape[1]
-    rows = S * E // 128
-    dma = pltpu.make_async_copy(flat_ref.at[pl.ds(offs_ref[i], rows), :], scratch, sem)
+    S = out_ref.shape[0]
+    CAP = E * PR
+    dma = pltpu.make_async_copy(
+        flat_ref.at[pl.ds(sboff_ref[i], CAP)], buf.at[pl.ds(0, CAP)], sem
+    )
     dma.start()
     dma.wait()
-    base = (
-        base_ref[...].reshape(K, S) if K else jnp.zeros((0, S), jnp.uint32)
-    )
-    out_ref[...] = _inv_superblock(
-        base, scratch[...].reshape(1, S * E), rl_ref[...], K, E
-    )
+    rows = [base_ref[...].reshape(max(K, 1), S)[:K]] if K else []
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    for j in range(E):
+        pj = buf[pl.ds(woff_ref[i * E + j], PR)].reshape(1, S)
+        rows.append(jnp.where(col < cnt_ref[i * E + j], pj, jnp.uint32(0)))
+    hi = 32 - K - E
+    if hi > 0:
+        rows.append(jnp.zeros((hi, S), jnp.uint32))
+    zt = jnp.concatenate(rows, axis=0)
+    out_ref[...] = _unzigzag(_bit_transpose32(zt).T)
 
 
-def _encode_pallas(sym2d, rl, sb_offs_rows, K, E, sb, out_rows):
-    NB = sym2d.shape[0]
+def _encode_pallas(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
+    NB = sym_sorted.shape[0]
     NSB = NB // sb
-    cap_rows = sb * E // 128
+    PR = sb // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(NSB,),
         in_specs=[
-            pl.BlockSpec((sb, BS), lambda i, offs: (i, i * 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sb), lambda i, offs: (i * 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((sb, BS), lambda i, w, s: (i, i * 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, max(K, 1), sb), lambda i, offs: (i, i * 0, i * 0),
+            pl.BlockSpec((1, max(K, 1), sb), lambda i, w, s: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((cap_rows, 128), jnp.uint32),
+            pltpu.VMEM((E * PR, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        partial(_enc_kernel, K, E),
+        partial(_enc_kernel, K, E, PR),
         out_shape=[
             jax.ShapeDtypeStruct((NSB, max(K, 1), sb), jnp.uint32),
-            jax.ShapeDtypeStruct((out_rows, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(sb_offs_rows, sym2d, rl.reshape(1, NB).astype(jnp.int32))
+    )(woff.reshape(-1), sb_off, sym_sorted)
 
 
-def _decode_pallas(base3d, rl, flat2d, sb_offs_rows, K, E, sb):
-    NB = rl.shape[0]
-    NSB = NB // sb
-    cap_rows = sb * E // 128
+def _decode_pallas(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
+    NSB = base3d.shape[0]
+    NB = NSB * sb
+    PR = sb // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=3,
         grid=(NSB,),
         in_specs=[
-            pl.BlockSpec((1, max(K, 1), sb), lambda i, offs: (i, i * 0, i * 0),
+            pl.BlockSpec((1, max(K, 1), sb), lambda i, w, s, c: (i, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sb), lambda i, offs: (i * 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((sb, BS), lambda i, offs: (i, i * 0),
+        out_specs=pl.BlockSpec((sb, BS), lambda i, w, s, c: (i, i * 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((cap_rows, 128), jnp.uint32),
+            pltpu.VMEM((E * PR, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        partial(_dec_kernel, K, E),
+        partial(_dec_kernel, K, E, PR),
         out_shape=jax.ShapeDtypeStruct((NB, BS), jnp.int32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(sb_offs_rows, base3d, rl.reshape(1, NB).astype(jnp.int32), flat2d)
+    )(woff.reshape(-1), sb_off, cnt.reshape(-1), base3d, flat2d)
 
 
 # ----------------------------------------------------------------------
-# XLA fallback (CPU oracle): identical chain, vmapped over superblocks
+# XLA fallback (CPU oracle): identical format via dynamic slices
 # ----------------------------------------------------------------------
-def _encode_xla(sym2d, rl, sb_offs, K, E, sb, out_rows):
-    NB = sym2d.shape[0]
+def _encode_xla(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
+    NB = sym_sorted.shape[0]
     NSB = NB // sb
-    capE = sb * E
+    PR = sb // LANES
+    CAP = E * PR
 
-    def one(tile, rl_sb):
-        base, stream = _fwd_superblock(tile, rl_sb, K, E)
-        return base.reshape(max(K, 1) * sb if K else 0 or max(K, 1) * sb), stream.reshape(capE)
+    def one(tile, woff_row):
+        zz = _zigzag(tile)
+        zt = _bit_transpose32(zz.T)
+        base = (zt[:K] if K else jnp.zeros((0, sb), jnp.uint32))
+        base = jnp.concatenate(
+            [base, jnp.zeros((max(K, 1) - K, sb), jnp.uint32)], axis=0
+        )
+        buf = jnp.zeros((CAP, LANES), jnp.uint32)
+        for j in range(E):
+            o = woff_row[j]
+            win = jax.lax.dynamic_slice(buf, (o, jnp.int32(0)), (PR, LANES))
+            buf = jax.lax.dynamic_update_slice(
+                buf, win | zt[K + j].reshape(PR, LANES), (o, jnp.int32(0))
+            )
+        return base, buf
 
-    def one2(tile, rl_sb):
-        base, stream = _fwd_superblock(tile, rl_sb, K, E)
-        if K == 0:
-            base = jnp.zeros((1, sb), jnp.uint32)
-        return base.reshape(max(K, 1), sb), stream.reshape(capE)
-
-    bases, streams = jax.vmap(one2)(
-        sym2d.reshape(NSB, sb, BS), rl.reshape(NSB, sb)
-    )
-    out = jnp.zeros((out_rows * 128,), jnp.uint32)
+    bases, bufs = jax.vmap(one)(sym_sorted.reshape(NSB, sb, BS), woff)
+    out = jnp.zeros((alloc_rows, LANES), jnp.uint32)
 
     def body(out, xs):
-        row, off = xs
-        return jax.lax.dynamic_update_slice(out, row, (off,)), None
+        buf, off = xs
+        # capacity window write; later (higher-offset) windows overwrite
+        # earlier zero spill — same semantics as the DMA chain
+        return jax.lax.dynamic_update_slice(out, buf, (off, jnp.int32(0))), None
 
-    out, _ = jax.lax.scan(body, out, (streams, sb_offs))
-    return bases, out.reshape(out_rows, 128)
+    out, _ = jax.lax.scan(body, out, (bufs, sb_off))
+    return bases, out
 
 
-def _decode_xla(base3d, rl, flat2d, sb_offs, K, E, sb):
-    NB = rl.shape[0]
-    NSB = NB // sb
-    capE = sb * E
-    flat = flat2d.reshape(-1)
+def _decode_xla(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
+    NSB = base3d.shape[0]
+    PR = sb // LANES
+    CAP = E * PR
 
-    def one(base, rl_sb, off):
-        stream = jax.lax.dynamic_slice(flat, (off,), (capE,)).reshape(1, capE)
-        b = base.reshape(max(K, 1), sb)[:K] if K else jnp.zeros((0, sb), jnp.uint32)
-        return _inv_superblock(b, stream, rl_sb, K, E)
+    def one(base, woff_row, off, cnt_row):
+        buf = jax.lax.dynamic_slice(flat2d, (off, jnp.int32(0)), (CAP, LANES))
+        rows = [base.reshape(max(K, 1), sb)[:K]] if K else []
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+        for j in range(E):
+            pj = jax.lax.dynamic_slice(buf, (woff_row[j], jnp.int32(0)), (PR, LANES))
+            rows.append(
+                jnp.where(col < cnt_row[j], pj.reshape(1, sb), jnp.uint32(0))
+            )
+        hi = 32 - K - E
+        if hi > 0:
+            rows.append(jnp.zeros((hi, sb), jnp.uint32))
+        zt = jnp.concatenate(rows, axis=0)
+        return _unzigzag(_bit_transpose32(zt).T)
 
-    tiles = jax.vmap(one)(base3d, rl.reshape(NSB, sb), sb_offs)
-    return tiles.reshape(NB, BS)
+    tiles = jax.vmap(one)(base3d, woff, sb_off, cnt)
+    return tiles.reshape(NSB * sb, BS)
 
 
 # ----------------------------------------------------------------------
@@ -294,57 +296,85 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
-                use_pallas: bool, align: int):
+                use_pallas: bool):
     """sym_padded (N,) int32, N % (sb*32) == 0.
 
-    Returns (base (NSB, max(K,1), sb) u32, rl (NB,) i32, resid2d (rows,128)
-    u32, resid_total i32, exc_ids (exc_cap,) i32, exc_blocks (exc_cap, 32)
-    i32, exc_count i32)."""
+    Returns (base (NSB, max(K,1), sb) u32 [sorted order], crl (NC,) i32
+    [chunk residual lengths, natural order], resid2d (alloc_rows, 128)
+    u32, resid_rows i32, exc_ids (exc_cap,) i32, exc_blocks (exc_cap, 32)
+    i32, exc_count i32).
+
+    The sort unit is a CHUNK of 4 blocks (one 512 B row): XLA's TPU row
+    gather runs at ~42 GB/s on 512 B rows vs ~2.3 GB/s on 128 B block
+    rows (scripts/prof_gather.py), and the chunk-max width costs ~0.8
+    words/block of ratio on the bench field — the right trade by 18x."""
     N = sym_padded.shape[0]
     NB = N // BS
+    NC = NB // CHUNK
     NSB = NB // sb
-    capE = sb * E
-    sym2d = sym_padded.reshape(NB, BS)
-    # width pre-pass (cheap dense reduction; the kernel needs rl + offsets
-    # up front for its placement DMA)
-    mx = jnp.max(_zigzag(sym2d), axis=1)
-    w = _widths_from_max(mx)
-    rl = jnp.clip(w - K, 0, E)
-    sb_lens = jnp.sum(rl.reshape(NSB, sb), axis=1, dtype=jnp.int32)
-    sb_alens = (sb_lens + (align - 1)) // align * align
-    sb_offs = (jnp.cumsum(sb_alens) - sb_alens).astype(jnp.int32)
-    total = (sb_offs[-1] + sb_alens[-1]).astype(jnp.int32)
-    out_rows = (NSB + 1) * capE // 128
+    sbc = sb // CHUNK
+    PR = sb // LANES
+    CAP = E * PR
+    # chunk widths: zigzag + full-lane max on the natural (NC, 128) layout
+    # (no (NB, 32) reshape — minor dims < 128 get lane-padded 4x in HBM and
+    # every op touching them pays 4x the traffic)
+    sym_rows = sym_padded.reshape(NC, CHUNK * BS)
+    cmx = jnp.max(_zigzag(sym_rows), axis=1)
+    cw = _widths_from_max(cmx)
+    crl = jnp.clip(cw - K, 0, E)
+    rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
+    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * CHUNK, PR)
+    # invert the chunk-rank permutation (scatter of unique indices) and
+    # gather chunk rows into sorted order
+    rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
+    perm = (
+        jnp.zeros((NC,), jnp.int32)
+        .at[rank_g]
+        .set(jnp.arange(NC, dtype=jnp.int32), unique_indices=True)
+    )
+    sym_sorted = jnp.take(sym_rows, perm, axis=0).reshape(NB, BS)
+    alloc_rows = (NSB + 1) * CAP
     if use_pallas:
-        base, resid2d = _encode_pallas(sym2d, rl, sb_offs // 128, K, E, sb, out_rows)
+        base, resid2d = _encode_pallas(
+            sym_sorted, woff, sb_off, K, E, sb, alloc_rows
+        )
     else:
-        base, resid2d = _encode_xla(sym2d, rl, sb_offs, K, E, sb, out_rows)
-    # exceptions: blocks wider than K+E ship all 32 raw symbols (row
-    # gather — the TPU-cheap major-axis direction)
-    mask = w > (K + E)
+        base, resid2d = _encode_xla(
+            sym_sorted, woff, sb_off, K, E, sb, alloc_rows
+        )
+    # exceptions at CHUNK granularity: a chunk with any block wider than
+    # K+E ships all 128 raw symbols (512 B row gather — the fast gather
+    # shape), natural chunk indices
+    mask = cw > (K + E)
     exc_count = jnp.sum(mask.astype(jnp.int32))
-    exc_ids = masked_indices(mask, exc_cap, NB)
-    exc_blocks = jnp.take(sym2d, jnp.clip(exc_ids, 0, NB - 1), axis=0)
-    return base, rl, resid2d, total, exc_ids, exc_blocks, exc_count
+    exc_ids = masked_indices(mask, exc_cap, NC)
+    exc_blocks = jnp.take(sym_rows, jnp.clip(exc_ids, 0, NC - 1), axis=0)
+    return base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
-def decode_core(base3d, rl, resid2d, exc_ids, exc_blocks, K: int, E: int,
-                sb: int, use_pallas: bool, align: int, NB: int):
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
+                sb: int, use_pallas: bool, NB: int):
     """Inverse of encode_core -> (N,) int32 symbols."""
+    NC = NB // CHUNK
     NSB = NB // sb
-    sb_lens = jnp.sum(rl.reshape(NSB, sb), axis=1, dtype=jnp.int32)
-    sb_alens = (sb_lens + (align - 1)) // align * align
-    sb_offs = (jnp.cumsum(sb_alens) - sb_alens).astype(jnp.int32)
+    sbc = sb // CHUNK
+    PR = sb // LANES
+    rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
+    cnt = cnt_c * CHUNK
+    _, woff, sb_off, _ = _plan_offsets(cnt, PR)
     if use_pallas:
-        sym2d = _decode_pallas(base3d, rl, resid2d, sb_offs // 128, K, E, sb)
+        sorted2d = _decode_pallas(base3d, resid2d, woff, sb_off, cnt, K, E, sb)
     else:
-        sym2d = _decode_xla(base3d, rl, resid2d, sb_offs, K, E, sb)
-    # patch exception blocks with their verbatim symbols (row scatter)
-    sym2d = sym2d.at[exc_ids].set(exc_blocks, mode="drop")
-    return sym2d.reshape(NB * BS)
+        sorted2d = _decode_xla(base3d, resid2d, woff, sb_off, cnt, K, E, sb)
+    # un-sort: natural[c] = sorted[rank[c]] — one row gather, no inversion
+    rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
+    sym_rows = jnp.take(sorted2d.reshape(NC, CHUNK * BS), rank_g, axis=0)
+    # patch exception chunks with their verbatim symbols (row scatter)
+    sym_rows = sym_rows.at[exc_ids].set(exc_blocks, mode="drop")
+    return sym_rows.reshape(NB * BS)
 
 
 # ----------------------------------------------------------------------
@@ -353,18 +383,20 @@ def decode_core(base3d, rl, resid2d, exc_ids, exc_blocks, K: int, E: int,
 _K_CACHE: dict = {}
 
 
-def choose_K(hist: np.ndarray, E: int) -> int:
+def choose_K(hist_cw: np.ndarray, E: int) -> int:
     """Pick the base plane count minimizing expected words/block:
-    cost(K) = K + E[clip(w-K,0,E)] + P(w>K+E) * (1 + 32)."""
-    total = int(hist.sum())
-    if total == 0:
+    cost(K) = K + E_cw[clip(cw-K,0,E)] + P_cw(cw>K+E) * 129/4, where cw is
+    the CHUNK-max width (each block pays its chunk's residual planes) and
+    an exception chunk ships 1 id + 128 raw words."""
+    totc = int(hist_cw.sum())
+    if totc == 0:
         return 0
     w = np.arange(33)
     best_k, best_c = 0, 1e18
     for K in range(0, 33 - E):
         rlv = np.clip(w - K, 0, E)
-        p_exc = hist[K + E + 1 :].sum() / total
-        c = K + float((hist * rlv).sum()) / total + p_exc * 33
+        p_exc = hist_cw[K + E + 1 :].sum() / totc
+        c = K + float((hist_cw * rlv).sum()) / totc + p_exc * (1 + CHUNK * BS) / CHUNK
         if c < best_c:
             best_k, best_c = K, c
     return best_k
@@ -372,8 +404,9 @@ def choose_K(hist: np.ndarray, E: int) -> int:
 
 @jax.jit
 def _width_hist(sym):
-    mx = jnp.max(_zigzag(sym.reshape(-1, BS)), axis=1)
-    return jnp.bincount(_widths_from_max(mx), length=33)
+    """Chunk-max width histogram (33,)."""
+    cmx = jnp.max(_zigzag(sym.reshape(-1, CHUNK * BS)), axis=1)
+    return jnp.bincount(_widths_from_max(cmx), length=33)
 
 
 def _choose_sb(n: int) -> int:
@@ -405,7 +438,6 @@ def encode_device(symbols, config=None):
         sym = jnp.concatenate([sym, jnp.zeros(npad - n, jnp.int32)])
     NB = npad // BS
     use_pallas = _use_pallas() and sb >= SB_BLOCKS
-    align = 128 if use_pallas else 1
     E = int(getattr(config, "bfp_resid_planes", 0) or E_DEFAULT)
     K = int(getattr(config, "bfp_base_planes", 0) or 0)
     key = (npad, E)
@@ -413,47 +445,50 @@ def encode_device(symbols, config=None):
         if key in _K_CACHE:
             K = _K_CACHE[key][0]
         else:
-            hist = np.asarray(_width_hist(sym))
-            K = choose_K(hist, E)
-            exc0 = int(hist[K + E + 1 :].sum())
-            _K_CACHE[key] = (K, _exc_bucket(exc0, NB))
-    exc_cap = _K_CACHE.get(key, (K, max(256, NB >> 8)))[1]
-    out = encode_core(sym, K, E, sb, exc_cap, use_pallas, align)
+            hcw = np.asarray(_width_hist(sym))
+            K = choose_K(hcw, E)
+            exc0 = int(hcw[K + E + 1 :].sum())
+            _K_CACHE[key] = (K, _exc_bucket(exc0, NB // CHUNK))
+    exc_cap = _K_CACHE.get(key, (K, max(256, (NB // CHUNK) >> 8)))[1]
+    out = encode_core(sym, K, E, sb, exc_cap, use_pallas)
     # sym rides along so serialize_device can re-dispatch on the rare
     # exception-bucket overflow without the caller keeping state
-    return ("bfp", n, K, E, sb, align, exc_cap, use_pallas, sym, out)
+    return ("bfp", n, K, E, sb, exc_cap, use_pallas, sym, out)
 
 
 def serialize_device(state) -> bytes:
     if state[0] == "empty":
-        return struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL, 1, 0)
+        return struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL, 0)
     from .huffman import device_get_prefix
 
-    _, n, K, E, sb, align, exc_cap, use_pallas, sym, out = state
-    base, rl, resid2d, total, exc_ids, exc_blocks, exc_count = out
+    _, n, K, E, sb, exc_cap, use_pallas, sym, out = state
+    base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
     cnt = int(exc_count)
     npad = _pad_to(n, sb)
     NB = npad // BS
     if cnt > exc_cap:
         # capacity ladder: re-dispatch once at the exact count's bucket
         # (bounded recompiles, mirrors the outlier-capture ladder)
-        exc_cap = _exc_bucket(cnt, NB)
+        exc_cap = _exc_bucket(cnt, NB // CHUNK)
         _K_CACHE[(npad, E)] = (K, exc_cap)
-        out = encode_core(sym, K, E, sb, exc_cap, use_pallas, align)
-        base, rl, resid2d, total, exc_ids, exc_blocks, exc_count = out
+        out = encode_core(sym, K, E, sb, exc_cap, use_pallas)
+        base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
         cnt = int(exc_count)
-    total_i = int(total)
-    rl_h = np.asarray(rl).astype(np.uint8)
-    if NB % 2:
+    rows_i = int(resid_rows)
+    NC = NB // CHUNK
+    rl_h = np.asarray(rl).astype(np.uint8)  # (NC,) chunk residual lengths
+    if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
     base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
-    resid_h = device_get_prefix(resid2d.reshape(-1), total_i).astype("<u4")
+    resid_h = device_get_prefix(
+        resid2d.reshape(-1), rows_i * LANES
+    ).astype("<u4")
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
     blk_h = np.asarray(exc_blocks[:cnt]).astype("<i4") if cnt else np.zeros(
-        (0, BS), "<i4"
+        (0, CHUNK * BS), "<i4"
     )
-    head = struct.pack(_HDR, _MAGIC, n, total_i, K, E, sb, align, cnt)
+    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, cnt)
     return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
             + resid_h.tobytes() + ids_h.tobytes() + blk_h.tobytes())
 
@@ -463,7 +498,7 @@ def encode(symbols, config=None) -> bytes:
 
 
 def decode(data: bytes, offset: int = 0):
-    magic, n, total, K, E, sb, align, cnt = struct.unpack_from(_HDR, data, offset)
+    magic, n, resid_rows, K, E, sb, cnt = struct.unpack_from(_HDR, data, offset)
     p = offset + struct.calcsize(_HDR)
     if magic != _MAGIC:
         raise ValueError("bad BFP blob")
@@ -472,37 +507,41 @@ def decode(data: bytes, offset: int = 0):
     npad = _pad_to(n, sb)
     NB = npad // BS
     NSB = NB // sb
-    nnib = (NB + 1) // 2
+    PR = sb // LANES
+    CAP = E * PR
+    NC = NB // CHUNK
+    nnib = (NC + 1) // 2
     nib = np.frombuffer(data, np.uint8, nnib, p)
     p += nnib
     rl = np.empty(nnib * 2, np.int32)
     rl[0::2] = nib & 0xF
     rl[1::2] = nib >> 4
-    rl = rl[:NB]
+    rl = rl[:NC]
     base = np.zeros((NSB, max(K, 1), sb), np.uint32)
     if K:
         base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(NSB, K, sb)
         p += 4 * K * NB
-    resid = np.frombuffer(data, "<u4", total, p)
-    p += 4 * total
+    resid = np.frombuffer(data, "<u4", resid_rows * LANES, p)
+    p += 4 * resid_rows * LANES
     ids = np.frombuffer(data, "<u4", cnt, p).astype(np.int32)
     p += 4 * cnt
-    blocks = np.frombuffer(data, "<i4", cnt * BS, p).reshape(cnt, BS)
-    p += 4 * cnt * BS
-    capE = sb * E
-    rows = (total + capE + 127) // 128 + 1
-    rbuf = np.zeros(rows * 128, np.uint32)
-    rbuf[:total] = resid
-    exc_cap = _exc_bucket(cnt, NB) if cnt else 256
-    ids_pad = np.full(exc_cap, NB, np.int32)
+    blocks = np.frombuffer(data, "<i4", cnt * CHUNK * BS, p).reshape(
+        cnt, CHUNK * BS
+    )
+    p += 4 * cnt * CHUNK * BS
+    # capacity slack: the last superblock's window reads up to CAP rows
+    rbuf = np.zeros((resid_rows + CAP, LANES), np.uint32)
+    rbuf.reshape(-1)[: resid_rows * LANES] = resid
+    exc_cap = _exc_bucket(cnt, NC) if cnt else 256
+    ids_pad = np.full(exc_cap, NC, np.int32)
     ids_pad[:cnt] = ids
-    blk_pad = np.zeros((exc_cap, BS), np.int32)
+    blk_pad = np.zeros((exc_cap, CHUNK * BS), np.int32)
     blk_pad[:cnt] = blocks
-    use_pallas = _use_pallas() and align == 128
+    use_pallas = _use_pallas() and sb >= SB_BLOCKS
     sym = decode_core(
-        jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf.reshape(rows, 128)),
+        jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
         jnp.asarray(ids_pad), jnp.asarray(blk_pad),
-        K, E, sb, use_pallas, align, NB,
+        K, E, sb, use_pallas, NB,
     )
     return sym[:n], p - offset
 
@@ -510,13 +549,10 @@ def decode(data: bytes, offset: int = 0):
 # ----------------------------------------------------------------------
 # NumPy reference (format oracle for tests)
 # ----------------------------------------------------------------------
-def np_encode(symbols: np.ndarray, K: int, E: int,
-              sb: int = SB_BLOCKS_SMALL, align: int = 1):
-    """Slow host reference: returns (rl u8, base u32, resid u32, exc_ids,
-    exc_blocks). Residual superblock order: blocks by bit-reversed
-    in-superblock index (merge schedule), matching BFX."""
-    from .bfx import _bitrev_order
-
+def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
+    """Slow host reference: returns (crl u8 (NC,) natural chunk order,
+    base u32 (chunk-sorted, plane-major per superblock), resid u32
+    (row-padded sorted-prefix planes), exc_ids, exc_blocks)."""
     n = symbols.shape[0]
     npad = _pad_to(n, sb)
     s = np.zeros(npad, np.int64)
@@ -533,22 +569,26 @@ def np_encode(symbols: np.ndarray, K: int, E: int,
                 word |= ((int(Z[b, k]) >> j) & 1) << k
             planes[j, b] = word
     rl = np.clip(widths - K, 0, E).astype(np.uint8)
-    # base: per superblock, plane-major
-    base = np.concatenate(
-        [planes[:K, sbi * sb : (sbi + 1) * sb].reshape(-1)
-         for sbi in range(NB // sb)]
-    ) if K else np.zeros(0, np.uint32)
-    order = _bitrev_order(sb)
-    out = []
+    crl = rl.reshape(-1, CHUNK).max(axis=1)  # (NC,) natural chunk order
+    sbc = sb // CHUNK
+    bases, resid = [], []
     for sbi in range(NB // sb):
-        sb_words = []
-        for local in order:
-            b = sbi * sb + local
-            for j in range(rl[b]):
-                sb_words.append(planes[K + j, b])
-        pad = (-len(sb_words)) % align
-        sb_words.extend([np.uint32(0)] * pad)
-        out.extend(sb_words)
-    exc_ids = np.nonzero(widths > K + E)[0].astype(np.uint32)
-    exc_blocks = s.reshape(NB, BS)[exc_ids].astype(np.int32)
-    return rl, base, np.array(out, np.uint32), exc_ids, exc_blocks
+        lo, hi = sbi * sb, (sbi + 1) * sb
+        crl_sb = crl[sbi * sbc : (sbi + 1) * sbc].astype(np.int32)
+        # stable descending sort of CHUNKS; blocks follow their chunk in
+        # natural within-chunk order
+        order_c = np.argsort(-crl_sb, kind="stable")
+        order = (order_c[:, None] * CHUNK + np.arange(CHUNK)[None, :]).reshape(-1)
+        if K:
+            bases.append(planes[:K, lo:hi][:, order].reshape(-1))
+        for j in range(E):
+            ccnt_j = int((crl_sb > j).sum())
+            row = planes[K + j, lo:hi][order[: ccnt_j * CHUNK]]
+            pad = (-ccnt_j * CHUNK) % LANES
+            resid.append(np.concatenate([row, np.zeros(pad, np.uint32)]))
+    base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
+    resid = np.concatenate(resid) if resid else np.zeros(0, np.uint32)
+    cw = widths.reshape(-1, CHUNK).max(axis=1)
+    exc_ids = np.nonzero(cw > K + E)[0].astype(np.uint32)
+    exc_blocks = s.reshape(-1, CHUNK * BS)[exc_ids].astype(np.int32)
+    return crl, base, resid, exc_ids, exc_blocks
