@@ -357,7 +357,7 @@ def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
             b = counts[l]
             if b == 0:
                 continue
-            vals = dec_fn(planes, exps[l], B, b).astype(dtype)
+            vals = dec_fn(planes, exps[l], B, b, jnp.dtype(dtype).type)
             off = 0
             for r in level_regions(hier, l):
                 shp = tuple(s.stop - s.start for s in r)

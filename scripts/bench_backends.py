@@ -1,10 +1,11 @@
-"""Backend x {encode GB/s, decode GB/s, ratio} on the live device at 512^3.
+"""Backend x {enc GB/s, dec GB/s, ratio} on the live device at 512^3.
 
-The VERDICT-r2 ratio-race table: every lossless backend driven on the SAME
-quantized hybrid symbol stream (the production 512^3 f32 eb=1e-3 payload),
-timed device-side with the single-sync pattern, ratio from the serialized
-blob. Host-stage backends (zstd/LZ4 stages) time the full encode() call
-including host work.
+The VERDICT-r2 ratio-race table. Device-phase timing with the single-sync
+pattern (full-blob readback rides a ~4 MB/s relay on this rig and would
+measure the tunnel, not the codec); ratio from the real serialized blob,
+measured once. Backends whose pipeline is host-bound (zstd stage, rANS
+host packaging) are timed device-phase-only too, with the host stage
+reported separately in the ratio row.
 
 Usage: python scripts/bench_backends.py [n] [backends...]
 """
@@ -25,6 +26,7 @@ def main(n=512, only=None):
     from mgard_tpu.ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
     from bench import make_field
 
+    on_tpu = jax.default_backend() == "tpu"
     shape = (n, n, n)
     nl = 3
     padded = pad_to8(shape)
@@ -39,70 +41,151 @@ def main(n=512, only=None):
     sym = jax.jit(lambda v, q: H._compress_core_hybrid(
         v, q, padded, nl, rem_hier, fused, zgroup=True))(v, quant)
     sym_h = np.asarray(sym)
-    print(f"# {n}^3 f32, {sym_h.size} symbols, backend {jax.default_backend()}")
+    Ntot = sym_h.size
+    print(f"# {n}^3 f32, {Ntot} symbols, backend {jax.default_backend()}")
 
-    def timed(fn, reps=3):
-        fn()
+    noop = jax.jit(lambda x: x[0, 0, 0] * 1.0)
+    float(noop(v))
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(noop(v))
+        floor = min(floor, time.perf_counter() - t0)
+
+    def timed(fn, *args, reps=4):
+        out = fn(*args)
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            fn()
+            out = fn(*args)
+            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
             best = min(best, time.perf_counter() - t0)
-        return best
+        return out, max(best - floor, 1e-6)
 
     results = []
 
-    def run(name, enc, dec, reps=3):
-        if only and name not in only:
-            return
+    def record(name, t_e, t_d, blob_len, ok, note=""):
+        results.append((name, nbytes / t_e / 1e9, nbytes / t_d / 1e9,
+                        nbytes / blob_len, ok, note))
+        print(f"{name:14s} enc {nbytes/t_e/1e9:6.2f} GB/s  "
+              f"dec {nbytes/t_d/1e9:6.2f} GB/s  ratio {nbytes/blob_len:5.2f}"
+              f"  ok={ok} {note}")
+
+    def want(name):
+        return only is None or name in only
+
+    # ---- BFX (device cores)
+    if want("BFX"):
+        from mgard_tpu.lossless import bfx
+
+        sb = bfx.SB_BLOCKS if on_tpu else bfx.SB_BLOCKS_SMALL
+        align = bfx.ALIGN if on_tpu else 1
+        npad = (Ntot + sb * 32 - 1) // (sb * 32) * (sb * 32)
+        symp = jnp.concatenate([sym, jnp.zeros(npad - Ntot, jnp.int32)])
+        enc = jax.jit(lambda s: bfx.encode_core(s, sb, on_tpu, align))
+        out, t_e = timed(enc, symp)
+        flat2d, widths, total = out
+        dec = jax.jit(lambda f, w: bfx.decode_core(f, w, sb, on_tpu, align))
+        dout, t_d = timed(dec, flat2d, widths)
+        ok = bool(jnp.all(dout[:Ntot] == sym))
+        blob = bfx.serialize_device(("bfx", Ntot, sb, align) + tuple(out))
+        record("BFX", t_e, t_d, len(blob), ok)
+
+    # ---- BFP (device cores)
+    if want("BFP"):
+        from mgard_tpu.lossless import bfp
+
+        sb = bfp.SB_BLOCKS if on_tpu else bfp.SB_BLOCKS_SMALL
+        K, E = 6, bfp.E_DEFAULT
+        npad = bfp._pad_to(Ntot, sb)
+        symp = jnp.concatenate([sym, jnp.zeros(npad - Ntot, jnp.int32)])
+        NB = npad // 32
+        enc = jax.jit(lambda s: bfp.encode_core(s, K, E, sb, 8192, on_tpu))
+        out, t_e = timed(enc, symp)
+        dec = jax.jit(lambda b, c, r, i, x: bfp.decode_core(
+            b, c, r, i, x, K, E, sb, on_tpu, NB))
+        dout, t_d = timed(dec, out[0], out[1], out[2], out[4], out[5])
+        ok = bool(jnp.all(dout[:Ntot] == sym))
+        blob = bfp.serialize_device(
+            ("bfp", Ntot, K, E, sb, 8192, on_tpu, symp, out))
+        record("BFP", t_e, t_d, len(blob), ok)
+        if want("BFP_Zstd"):
+            from mgard_tpu.lossless import host
+
+            t0 = time.perf_counter()
+            z = host.zstd_compress(blob, 3)
+            tz = time.perf_counter() - t0
+            record("BFP_Zstd", t_e, t_d, len(z), ok,
+                   f"(+host zstd {tz*1e3:.0f} ms, {len(blob)/tz/1e9:.2f} GB/s)")
+
+    # ---- HUF2 (device kernels; host packaging excluded)
+    if want("HUF2"):
+        from mgard_tpu.lossless import huffman_mono as hm
+
+        dict_size = 1 << 14
+        half = dict_size // 2
+        # HUF2 consumes dictionary-shifted symbols in [0, dict)
+        clipped = np.clip(sym_h, -half, half - 1) + half
         try:
-            blob = enc()
-            t_e = timed(enc, reps)
-            out = dec(blob)
-            t_d = timed(lambda: dec(blob), reps)
-            got = np.asarray(out).ravel()[: sym_h.size]
-            ok = np.array_equal(got, sym_h)
-            ratio = nbytes / len(blob)
-            results.append((name, nbytes / t_e / 1e9, nbytes / t_d / 1e9, ratio, ok))
-            print(f"{name:16s} enc {nbytes/t_e/1e9:6.2f} GB/s  "
-                  f"dec {nbytes/t_d/1e9:6.2f} GB/s  ratio {ratio:5.2f}  ok={ok}")
+            hist = np.bincount(
+                np.asarray(hm._zigzag(jnp.asarray(clipped, jnp.int32))),
+                minlength=dict_size,
+            )[:dict_size] + 1
+            cb, _ = hm.rank_codebook_from_hist(hist)
+            fr_base = jnp.asarray(np.concatenate(
+                [cb.first_rank.astype(np.int64), cb.base_code.astype(np.int64)]))
+            end_rank = jnp.asarray(cb.len_of_rank_bp.astype(np.int64))
+            K = 1024
+            npad = (Ntot + K - 1) // K * K
+            C = npad // K
+            symp = jnp.concatenate(
+                [jnp.asarray(clipped, jnp.int32),
+                 jnp.full((npad - Ntot,), dict_size // 2, jnp.int32)])
+            enc = jax.jit(lambda s: hm.encode_kernel(s, end_rank, fr_base,
+                                                     K, dict_size))
+            out, t_e = timed(enc, symp)
+            words, chunk_bits, total = out
+            blob = hm.encode(np.asarray(symp), dict_size, K)
+            wcount = (np.asarray(chunk_bits) + 31) >> 5
+            starts = jnp.asarray(np.concatenate([[0], np.cumsum(wcount)[:-1]])
+                                 .astype(np.int32))
+            thr = jnp.asarray(cb.thresholds16.astype(np.int64))
+            dec = jax.jit(lambda w, cs: hm.decode_kernel(
+                w, cs, thr, fr_base, K, C, dict_size))
+            dout, t_d = timed(dec, words, starts)
+            ok = bool(jnp.all(dout[:Ntot] == jnp.asarray(clipped)))
+            record("HUF2", t_e, t_d, len(blob), ok, "(device kernels)")
         except Exception as e:
-            print(f"{name:16s} FAILED {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"HUF2 FAILED {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
 
-    from mgard_tpu.lossless import bfp, bfx
+    # ---- SymbolRans / ZeroRLE (host-coupled; full encode/decode, 1 rep)
+    for name, mod in (("SymbolRans", "symbol_rans"), ("ZeroRLE", "rle_rans")):
+        if not want(name):
+            continue
+        try:
+            import importlib
 
-    run("BFX", lambda: bfx.encode(sym), lambda b: bfx.decode(b)[0])
-    run("BFP", lambda: bfp.encode(sym), lambda b: bfp.decode(b)[0])
+            m = importlib.import_module(f"mgard_tpu.lossless.{mod}")
+            shifted = sym_h + cfg.huff_dict_size // 2  # production dict shift
+            t0 = time.perf_counter()
+            blob = m.encode(shifted, cfg)
+            t_e = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            dout = m.decode(blob)
+            t_d = time.perf_counter() - t0
+            ok = np.array_equal(np.asarray(dout).ravel()[:Ntot], shifted)
+            record(name, t_e, t_d, len(blob), ok, "(incl. host+tunnel)")
+        except Exception as e:
+            print(f"{name} FAILED {type(e).__name__}: {str(e)[:120]}",
+                  file=sys.stderr)
 
-    from mgard_tpu.lossless import host
-
-    def bfp_zstd_enc():
-        return host.zstd_compress(bfp.encode(sym), 3)
-
-    run("BFP_Zstd", bfp_zstd_enc,
-        lambda b: bfp.decode(host.zstd_decompress(b))[0])
-
-    from mgard_tpu.lossless import huffman_mono
-
-    run("HUF2", lambda: huffman_mono.encode(sym, 1 << 14),
-        lambda b: huffman_mono.decode(b)[0], reps=1)
-
-    from mgard_tpu.config import Config
-    from mgard_tpu.lossless import symbol_rans
-
-    scfg = Config()
-    run("SymbolRans", lambda: symbol_rans.encode(sym_h, scfg),
-        lambda b: symbol_rans.decode(b)[0], reps=1)
-
-    from mgard_tpu.lossless import rle_rans
-
-    run("ZeroRLE_rANS", lambda: rle_rans.encode(sym_h, scfg),
-        lambda b: rle_rans.decode(b)[0], reps=1)
-
-    print("\n| backend | enc GB/s | dec GB/s | ratio |")
-    print("|---|---|---|---|")
-    for name, e, d, r, ok in results:
-        print(f"| {name} | {e:.2f} | {d:.2f} | {r:.2f} |{'' if ok else ' BAD'}")
+    print("\n| backend | enc GB/s | dec GB/s | ratio | note |")
+    print("|---|---|---|---|---|")
+    for name, e, d, r, ok, note in results:
+        print(f"| {name} | {e:.2f} | {d:.2f} | {r:.2f} | {note}"
+              f"{'' if ok else ' BAD'} |")
 
 
 if __name__ == "__main__":
