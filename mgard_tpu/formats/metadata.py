@@ -152,6 +152,18 @@ class Metadata:
     def deserialize(cls, data: bytes) -> tuple["Metadata", int]:
         """Parse header; returns (metadata, total header size in bytes)."""
         if len(data) < len(MAGIC) + 8 or data[: len(MAGIC)] != MAGIC:
+            # Interop decision (SURVEY sanctions "byte-compatible where
+            # practical"): streams produced by the reference C++/CUDA
+            # libraries (signature "MGARD", MGARDConfig.hpp.in:22) carry
+            # backend-specific Huffman/LZ4 payloads this framework does
+            # not decode; sniff and say so explicitly instead of a
+            # generic signature error.
+            if data[:5] == b"MGARD" and data[5:8] != b"TPU":
+                raise FormatError(
+                    "stream was produced by the reference MGARD/MGARD-X "
+                    "library; cross-decoding foreign payloads is not "
+                    "supported — re-compress with mgard-tpu"
+                )
             raise FormatError("not an mgard-tpu stream (bad signature)")
         off = len(MAGIC)
         size, crc = struct.unpack_from("<II", data, off)

@@ -126,7 +126,9 @@ def _enc_kernel(K, E, PR, woff_ref, sboff_ref, sym_ref, base_ref, out_ref,
     i = pl.program_id(0)
     S = sym_ref.shape[0]
     CAP = E * PR
-    zz = _zigzag(sym_ref[...])  # (S, 32)
+    # payload is pre-zigzagged (u16 when K+E <= 16 — halves every HBM pass
+    # feeding the kernel; u32 otherwise); widen is register-only
+    zz = sym_ref[...].astype(jnp.uint32)  # (S, 32)
     zt = _bit_transpose32(zz.T)  # (32, S) plane rows
     if K:
         base_ref[...] = zt[:K].reshape(1, K, S)
@@ -161,7 +163,9 @@ def _dec_kernel(K, E, PR, woff_ref, sboff_ref, cnt_ref, base_ref, flat_ref,
     if hi > 0:
         rows.append(jnp.zeros((hi, S), jnp.uint32))
     zt = jnp.concatenate(rows, axis=0)
-    out_ref[...] = _unzigzag(_bit_transpose32(zt).T)
+    # emit ZIGZAG tiles in the payload dtype; un-zigzag happens outside
+    # after the un-sort gather (on the narrow half-width stream)
+    out_ref[...] = _bit_transpose32(zt).T.astype(out_ref.dtype)
 
 
 def _encode_pallas(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
@@ -198,7 +202,7 @@ def _encode_pallas(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
     )(woff.reshape(-1), sb_off, sym_sorted)
 
 
-def _decode_pallas(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
+def _decode_pallas(base3d, flat2d, woff, sb_off, cnt, K, E, sb, out_dtype):
     NSB = base3d.shape[0]
     NB = NSB * sb
     PR = sb // LANES
@@ -219,7 +223,7 @@ def _decode_pallas(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
     )
     return pl.pallas_call(
         partial(_dec_kernel, K, E, PR),
-        out_shape=jax.ShapeDtypeStruct((NB, BS), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((NB, BS), out_dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
@@ -237,7 +241,7 @@ def _encode_xla(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
     CAP = E * PR
 
     def one(tile, woff_row):
-        zz = _zigzag(tile)
+        zz = tile.astype(jnp.uint32)  # payload is pre-zigzagged
         zt = _bit_transpose32(zz.T)
         base = (zt[:K] if K else jnp.zeros((0, sb), jnp.uint32))
         base = jnp.concatenate(
@@ -265,7 +269,7 @@ def _encode_xla(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
     return bases, out
 
 
-def _decode_xla(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
+def _decode_xla(base3d, flat2d, woff, sb_off, cnt, K, E, sb, out_dtype):
     NSB = base3d.shape[0]
     PR = sb // LANES
     CAP = E * PR
@@ -283,7 +287,7 @@ def _decode_xla(base3d, flat2d, woff, sb_off, cnt, K, E, sb):
         if hi > 0:
             rows.append(jnp.zeros((hi, sb), jnp.uint32))
         zt = jnp.concatenate(rows, axis=0)
-        return _unzigzag(_bit_transpose32(zt).T)
+        return _bit_transpose32(zt).T.astype(out_dtype)
 
     tiles = jax.vmap(one)(base3d, woff, sb_off, cnt)
     return tiles.reshape(NSB * sb, BS)
@@ -321,9 +325,23 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
     # (no (NB, 32) reshape — minor dims < 128 get lane-padded 4x in HBM and
     # every op touching them pays 4x the traffic)
     sym_rows = sym_padded.reshape(NC, CHUNK * BS)
-    cmx = jnp.max(_zigzag(sym_rows), axis=1)
+    zz_rows = _zigzag(sym_rows)
+    cmx = jnp.max(zz_rows, axis=1)
     cw = _widths_from_max(cmx)
-    crl = jnp.clip(cw - K, 0, E)
+    # exception chunks carry their payload verbatim in the side stream;
+    # their sorted-stream content is ZEROED (crl = 0, zero planes) so both
+    # execution paths serialize identical bytes and the u16 narrow path
+    # never truncates live data
+    mask = cw > (K + E)
+    exc_count = jnp.sum(mask.astype(jnp.int32))
+    exc_ids = masked_indices(mask, exc_cap, NC)
+    exc_blocks = jnp.take(sym_rows, jnp.clip(exc_ids, 0, NC - 1), axis=0)
+    crl = jnp.where(mask, 0, jnp.clip(cw - K, 0, E))
+    zz_rows = jnp.where(mask[:, None], jnp.uint32(0), zz_rows)
+    # narrow payload: with K+E <= 16 every surviving zigzag value fits 16
+    # bits — halves the gather, the relayout, and the kernel's HBM reads
+    narrow = (K + E) <= 16
+    payload = zz_rows.astype(jnp.uint16) if narrow else zz_rows
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
     _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * CHUNK, PR)
     # invert the chunk-rank permutation (scatter of unique indices) and
@@ -334,23 +352,16 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
         .at[rank_g]
         .set(jnp.arange(NC, dtype=jnp.int32), unique_indices=True)
     )
-    sym_sorted = jnp.take(sym_rows, perm, axis=0).reshape(NB, BS)
+    zz_sorted = jnp.take(payload, perm, axis=0).reshape(NB, BS)
     alloc_rows = (NSB + 1) * CAP
     if use_pallas:
         base, resid2d = _encode_pallas(
-            sym_sorted, woff, sb_off, K, E, sb, alloc_rows
+            zz_sorted, woff, sb_off, K, E, sb, alloc_rows
         )
     else:
         base, resid2d = _encode_xla(
-            sym_sorted, woff, sb_off, K, E, sb, alloc_rows
+            zz_sorted, woff, sb_off, K, E, sb, alloc_rows
         )
-    # exceptions at CHUNK granularity: a chunk with any block wider than
-    # K+E ships all 128 raw symbols (512 B row gather — the fast gather
-    # shape), natural chunk indices
-    mask = cw > (K + E)
-    exc_count = jnp.sum(mask.astype(jnp.int32))
-    exc_ids = masked_indices(mask, exc_cap, NC)
-    exc_blocks = jnp.take(sym_rows, jnp.clip(exc_ids, 0, NC - 1), axis=0)
     return base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count
 
 
@@ -365,13 +376,19 @@ def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
     cnt = cnt_c * CHUNK
     _, woff, sb_off, _ = _plan_offsets(cnt, PR)
+    narrow = (K + E) <= 16
+    out_dtype = jnp.uint16 if narrow else jnp.uint32
     if use_pallas:
-        sorted2d = _decode_pallas(base3d, resid2d, woff, sb_off, cnt, K, E, sb)
+        zz_sorted = _decode_pallas(base3d, resid2d, woff, sb_off, cnt,
+                                   K, E, sb, out_dtype)
     else:
-        sorted2d = _decode_xla(base3d, resid2d, woff, sb_off, cnt, K, E, sb)
-    # un-sort: natural[c] = sorted[rank[c]] — one row gather, no inversion
+        zz_sorted = _decode_xla(base3d, resid2d, woff, sb_off, cnt,
+                                K, E, sb, out_dtype)
+    # un-sort: natural[c] = sorted[rank[c]] — one row gather (half width
+    # on the narrow path), then widen + un-zigzag elementwise
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
-    sym_rows = jnp.take(sorted2d.reshape(NC, CHUNK * BS), rank_g, axis=0)
+    zz_rows = jnp.take(zz_sorted.reshape(NC, CHUNK * BS), rank_g, axis=0)
+    sym_rows = _unzigzag(zz_rows.astype(jnp.uint32))
     # patch exception chunks with their verbatim symbols (row scatter)
     sym_rows = sym_rows.at[exc_ids].set(exc_blocks, mode="drop")
     return sym_rows.reshape(NB * BS)
@@ -570,6 +587,13 @@ def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
             planes[j, b] = word
     rl = np.clip(widths - K, 0, E).astype(np.uint8)
     crl = rl.reshape(-1, CHUNK).max(axis=1)  # (NC,) natural chunk order
+    cw = widths.reshape(-1, CHUNK).max(axis=1)
+    exc_mask = cw > K + E
+    # exception chunks: crl = 0 and zeroed plane content (their payload
+    # ships verbatim in the exception side stream)
+    crl = np.where(exc_mask, 0, crl).astype(np.uint8)
+    exc_blk = np.repeat(exc_mask, CHUNK)
+    planes[:, exc_blk] = 0
     sbc = sb // CHUNK
     bases, resid = [], []
     for sbi in range(NB // sb):
@@ -588,7 +612,6 @@ def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
             resid.append(np.concatenate([row, np.zeros(pad, np.uint32)]))
     base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
     resid = np.concatenate(resid) if resid else np.zeros(0, np.uint32)
-    cw = widths.reshape(-1, CHUNK).max(axis=1)
-    exc_ids = np.nonzero(cw > K + E)[0].astype(np.uint32)
+    exc_ids = np.nonzero(exc_mask)[0].astype(np.uint32)
     exc_blocks = s.reshape(-1, CHUNK * BS)[exc_ids].astype(np.int32)
     return crl, base, resid, exc_ids, exc_blocks
