@@ -65,7 +65,7 @@ try:
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-SB_BLOCKS = 8192  # r3 sweep: enc 13.3 vs 11.8 GB/s at 4096, same ratio
+SB_BLOCKS = 16384  # r3 u16 sweep: enc 15.6/dec 22.8 GB/s vs 14.6/18.6 at 8192
 SB_BLOCKS_SMALL = 256
 E_DEFAULT = 8
 LANES = 128
