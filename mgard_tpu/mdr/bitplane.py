@@ -27,12 +27,6 @@ from ..lossless.bfx import _bit_transpose32
 LANES = 32
 
 
-def _pack_bits(bits2d):
-    """(m, LANES) 0/1 uint32 -> (m,) uint32 words (bit t = lane t)."""
-    pow2 = (jnp.uint32(1) << jnp.arange(LANES, dtype=jnp.uint32))[None, :]
-    return jnp.sum(bits2d * pow2, axis=1, dtype=jnp.uint32)
-
-
 # conservative inflation of the fast-path (f32 intermediate) error tables:
 # covers the <= 2^-23 relative representation error of the scaled-integer
 # residues so the tables stay true upper bounds for retrieval planning

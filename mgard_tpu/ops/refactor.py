@@ -290,24 +290,6 @@ def _fast_axis_tables(hier: Hierarchy, l: int, d: int):
     return out
 
 
-def _bshape(ndim, axis, n):
-    s = [1] * ndim
-    s[axis] = n
-    return tuple(s)
-
-
-def _interp_pass_fast(x, hier, l, d):
-    import jax.numpy as jnp
-
-    wl, wr, mask = _fast_axis_tables(hier, l, d)
-    nf = x.shape[d]
-    bs = _bshape(x.ndim, d, nf)
-    left = jnp.roll(x, 1, axis=d)
-    right = jnp.roll(x, -1, axis=d)
-    cand = jnp.asarray(wl).reshape(bs) * left + jnp.asarray(wr).reshape(bs) * right
-    return jnp.where(jnp.asarray(mask).reshape(bs), cand, x)
-
-
 def decompose_level_fast(v, hier: Hierarchy, l: int, orthogonal: bool):
     axes = hier.axis[l - 1]
     D = hier.D
