@@ -147,3 +147,30 @@ def test_e2e_bfp_zstd_and_sharded():
         assert int(st2) == 0
         out2, _ = mgard_tpu.decompress(blob2)
         assert np.max(np.abs(out2 - v)) <= 1e-2
+
+
+def test_wide_path_k_plus_e_over_16():
+    """Pinning K so K+E > 16 forces the u32 (wide) payload path; the
+    format and round-trip must be identical to the narrow path's rules."""
+    cfg = mgard_tpu.Config()
+    cfg.bfp_base_planes = 12  # + E_DEFAULT(8) = 20 > 16
+    rng = np.random.default_rng(11)
+    sym = (rng.standard_normal(40000) * 3e5).astype(np.int32)
+    _roundtrip(sym, cfg)
+
+
+def test_narrow_wide_byte_identity():
+    """For a stream whose widths fit both paths, blobs from K+E <= 16 and
+    a wide-forced config differ only via K — same machinery, and each
+    round-trips. (Exception chunks serialize as zero planes on BOTH paths,
+    so bytes stay deterministic per config.)"""
+    rng = np.random.default_rng(12)
+    sym = (rng.standard_normal(30000) * 40).astype(np.int32)
+    cfg = mgard_tpu.Config()
+    cfg.bfp_base_planes = 5  # K+E = 13: narrow
+    b1 = _roundtrip(sym, cfg)
+    b1b = _roundtrip(sym, cfg)
+    assert b1 == b1b  # deterministic
+    cfg2 = mgard_tpu.Config()
+    cfg2.bfp_base_planes = 10  # K+E = 18: wide machinery
+    _roundtrip(sym, cfg2)

@@ -65,3 +65,22 @@ def test_truncated():
     blob = Metadata(shape=(8, 8)).serialize()
     with pytest.raises(FormatError):
         Metadata.deserialize(blob[: len(blob) - 4])
+
+
+def test_reference_stream_sniffing():
+    """A stream from the reference C++ library (signature "MGARD",
+    MGARDConfig.hpp.in:22) gets the explicit interop message; garbage gets
+    the generic one; a valid mgard-tpu stream still parses."""
+    import numpy as np
+    import pytest
+
+    import mgard_tpu
+    from mgard_tpu.formats.metadata import FormatError, Metadata
+
+    with pytest.raises(FormatError, match="reference MGARD"):
+        Metadata.deserialize(b"MGARD\x08proto" + b"\x00" * 64)
+    with pytest.raises(FormatError, match="bad signature"):
+        Metadata.deserialize(b"NOTMGARD" + b"\x00" * 64)
+    blob, st = mgard_tpu.compress(np.ones((9, 9), np.float32), tol=1e-2)
+    assert int(st) == 0
+    Metadata.deserialize(bytes(blob))
