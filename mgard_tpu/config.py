@@ -27,13 +27,19 @@ _UNLIMITED = 2**63 - 1
 class Config:
     # --- compression pipeline selection -------------------------------
     compressor: compressor_type = compressor_type.MGARD
-    decomposition: decomposition_type = decomposition_type.MultiDim
-    # TPU-native default: the dense BFX bitplane codec (lossless/bfx.py).
+    # TPU-native defaults = the flagship benched pipeline (r3 VERDICT #4:
+    # "default Config != benched config"): Hybrid decomposition (blockwise
+    # 8^3 local refactor fused in one Pallas pass + global remainder,
+    # reference HybridHierarchyCompressor) with the BFP width-sorted prefix
+    # codec. Finite-s / non-raw-backend requests transparently fall back to
+    # the MultiDim transform with identical certified constants, and every
+    # choice is recorded in the self-describing header.
+    decomposition: decomposition_type = decomposition_type.Hybrid
     # The reference defaults to (GPU-)Huffman (Config.cpp:33-68); on TPU
     # data-dependent gathers make table-driven Huffman the slow path, so the
-    # gather-free codec is the default. Huffman remains selectable and the
-    # format is self-describing either way.
-    lossless: lossless_type = lossless_type.BFX
+    # gather-free sorted-prefix codec is the default. Huffman/BFX remain
+    # selectable and the format is self-describing either way.
+    lossless: lossless_type = lossless_type.BFP
 
     # --- quantization / entropy knobs ---------------------------------
     estimate_outlier_ratio: float = 1.0
@@ -88,11 +94,13 @@ class Config:
 
 
     # --- hybrid refactoring ----------------------------------------------
-    num_local_refactoring_level: int = 1
+    # 3 local levels = the full 8 -> 5 -> 3 -> 2 in-block chain (reference
+    # Decompose8x8x8); the benched flagship configuration.
+    num_local_refactoring_level: int = 3
     # Group hybrid symbols by minor-axis position class before entropy
     # coding: +~6% compression ratio for -~6% throughput (one extra
     # relayout pass each way). Recorded in the blob header.
-    hybrid_level_grouping: bool = False
+    hybrid_level_grouping: bool = True
 
     # --- misc -------------------------------------------------------------
     log_level: int = 0
@@ -109,9 +117,17 @@ class Config:
     bfx_sb_blocks: Optional[int] = None
     # BFP (lossless/bfp.py) base plane count (0 = auto from the first
     # stream's width histogram, sticky per stream size) and residual plane
-    # capacity (0 = default 8).
+    # capacity (0 = default 8; valid explicit range 1..15 — residual
+    # lengths are stored as 4-bit nibbles in the sidecar).
     bfp_base_planes: int = 0
     bfp_resid_planes: int = 0
+    # BFP superblock size in 32-symbol blocks (None = platform default;
+    # set by utils.autotuner.apply_autotune from the persistent table).
+    bfp_sb_blocks: Optional[int] = None
+    # Consult the persistent autotuner table automatically on compress()
+    # (the reference's AutoTuningTable lookup per kernel launch,
+    # AutoTuner.h:46-118). Explicitly-set knobs are never overridden.
+    autotune_lookup: bool = True
 
     def apply_autotune(self, shape, dtype):
         """Overwrite tunable knobs from the persistent autotuner table

@@ -36,8 +36,12 @@ from ..dtypes import (
 )
 
 MAGIC = b"MGARDTPU"
-SOFTWARE_VERSION = (0, 1, 0)
-FILE_VERSION = (1, 0, 0)
+SOFTWARE_VERSION = (0, 2, 0)
+# Bumped 1.0.0 -> 2.0.0 when the body layout changed (hybrid_grouping byte
+# added, Huffman_LZ4 payload switched zlib -> native LZ4): older streams are
+# rejected with a clean unsupported-version error instead of parsing with
+# shifted offsets (reference analogue: version gate in Metadata.hpp:20-75).
+FILE_VERSION = (2, 0, 0)
 
 
 class FormatError(ValueError):
@@ -181,7 +185,11 @@ class Metadata:
         fv = struct.unpack_from("<3B", body, p)
         p += 3
         if fv[0] != FILE_VERSION[0]:
-            raise FormatError(f"unsupported file version {fv}")
+            raise FormatError(
+                f"unsupported mgard-tpu file version {fv[0]}.{fv[1]}.{fv[2]} "
+                f"(this build reads {FILE_VERSION[0]}.x.x); re-compress with "
+                "a matching version"
+            )
         (_endian,) = struct.unpack_from("<B", body, p)
         p += 1
         dt, ds = struct.unpack_from("<BB", body, p)

@@ -53,17 +53,26 @@ def _coord_to_dist(coord: np.ndarray, uniform: bool) -> np.ndarray:
     """Segment lengths of a node coordinate array.
 
     Returns the *extended* segment array: length n-1 for odd n, length n for
-    even n (virtual ghost node at the midpoint of the last cell, each half a
-    segment). Mirrors reference coord_to_dist (Hierarchy.hpp:23-61); for the
-    uniform case the reference keeps uniform spacing (no split), so the two
-    ghost segments are each half of the (uniform) last cell as well, which
-    keeps the extended grid's total extent equal to the physical extent.
+    even n (one extra segment for the virtual ghost node inserted before the
+    last node). Mirrors reference coord_to_dist (Hierarchy.hpp:23-61)
+    EXACTLY, including this fork's uniform/non-uniform asymmetry:
+      * non-uniform: the last cell is split in half (ghost at its midpoint);
+      * uniform: NO split — the dist array keeps uniform spacing and its
+        trailing entry is 0, i.e. the ghost is collocated with the last
+        node. In the LPK mass-trans this makes the last node's value drop
+        out (all its terms multiply the zero segment) and the last coarse
+        node receive exactly h/6 times its left neighbour's mass value —
+        verified column-by-column against the reference SERIAL kernels
+        (tests/golden/gen_golden_x.cpp probes).
     """
     n = coord.shape[0]
     h = np.diff(coord.astype(np.float64))
     if n % 2 == 0 and n != 2:
-        last = h[-1]
-        h = np.concatenate([h[:-1], [last / 2.0, last / 2.0]])
+        if uniform:
+            h = np.concatenate([h, [0.0]])
+        else:
+            last = h[-1]
+            h = np.concatenate([h[:-1], [last / 2.0, last / 2.0]])
     return h
 
 
@@ -81,10 +90,12 @@ def _reduce_dist(h: np.ndarray, n_fine: int, uniform: bool) -> tuple[np.ndarray,
     # physical cell, so summing all extended segments double-counts nothing.
     phys_total = float(np.sum(h))
     if uniform:
+        # even spread over the coarse cells, ghost segment 0 for even sizes
+        # (reference reduce_dist uniform branch: h_dist2 zero-initialized
+        # with only the first dof2-1 entries written)
         hc = np.full(n_coarse_ - 1, phys_total / (n_coarse_ - 1), dtype=np.float64)
         if n_coarse_ % 2 == 0 and n_coarse_ != 2:
-            last = hc[-1]
-            hc = np.concatenate([hc[:-1], [last / 2.0, last / 2.0]])
+            hc = np.concatenate([hc, [0.0]])
         return hc, n_coarse_
     # Non-uniform: coarse segment i spans fine segments 2i, 2i+1 of the
     # extended fine grid.

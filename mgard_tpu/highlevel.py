@@ -75,6 +75,16 @@ def adjust_shape(shape):
     return tuple(out)
 
 
+def _hybrid_worthwhile(shape) -> bool:
+    """Hybrid (blockwise 8^3) refactoring pays off when the x8 padding is
+    cheap and the array is large enough to amortize the remainder stage."""
+    import numpy as _np
+
+    padded = [(s + 7) // 8 * 8 for s in shape]
+    pad_factor = float(_np.prod([p / s for p, s in zip(padded, shape)]))
+    return pad_factor <= 1.25 and int(_np.prod(shape)) >= (1 << 18)
+
+
 def infer_orthogonal_projection(s: float) -> bool:
     """Hierarchical fast path for L-infinity bounds (reference:
     Compressor.hpp:229-236): s == inf skips the mass-matrix correction and
@@ -122,6 +132,21 @@ def _raw_codec(lt: lossless_type):
     else:
         from .lossless import bfx as mod
     return mod, lt in (lossless_type.BFX_Zstd, lossless_type.BFP_Zstd)
+
+
+def _effective_raw_lt(lt: lossless_type, n: int) -> lossless_type:
+    """BFP pays its chunk-max width granularity for superblock-scale
+    sorted-prefix packing; below the Pallas engagement size it has no
+    throughput edge over BFX and loses ratio, so small streams fall back.
+    The per-section backend id (lossless/registry.py) keeps every blob
+    self-describing, so this is invisible to decompression."""
+    from .lossless import bfp as _bfp
+
+    if lt == lossless_type.BFP and n < _bfp.SB_PALLAS_MIN * 32:
+        return lossless_type.BFX
+    if lt == lossless_type.BFP_Zstd and n < _bfp.SB_PALLAS_MIN * 32:
+        return lossless_type.BFX_Zstd
+    return lt
 
 
 # ----------------------------------------------------------------------
@@ -357,12 +382,14 @@ def _dispatch_subdomain(
 
 
 def _raw_encode_device(sym, config: Config):
-    mod, _ = _raw_codec(config.lossless)
+    """Returns (effective lossless id, opaque device state)."""
+    lt = _effective_raw_lt(config.lossless, int(sym.shape[0]))
+    mod, _ = _raw_codec(lt)
     from .lossless import bfp as _bfp
 
     if mod is _bfp:
-        return mod.encode_device(sym, config)
-    return mod.encode_device(sym, getattr(config, "bfx_sb_blocks", None))
+        return lt, mod.encode_device(sym, config)
+    return lt, mod.encode_device(sym, getattr(config, "bfx_sb_blocks", None))
 
 
 def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
@@ -371,15 +398,16 @@ def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
     if state[0] == "raw":
         from .lossless.registry import _HDR as _LHDR
 
-        mod, zstd_stage = _raw_codec(config.lossless)
-        inner = mod.serialize_device(state[1])
+        lt_eff, dev_state = state[1]
+        mod, zstd_stage = _raw_codec(lt_eff)
+        inner = mod.serialize_device(dev_state)
         if zstd_stage:
             from .lossless import host as _host
 
             inner = _host.zstd_compress(inner, config.zstd_compress_level)
         return (
             _empty_outliers()
-            + struct.pack(_LHDR, int(config.lossless), len(inner))
+            + struct.pack(_LHDR, int(lt_eff), len(inner))
             + inner
         )
     _, v, hier, quantizers, single_dim = state
@@ -473,6 +501,24 @@ def compress(
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(config)
+
+        if config.autotune_lookup:
+            # consult the persistent per-(platform, dtype, size) tuner table
+            # (reference: AutoTuningTable lookup, AutoTuner.h:46-118) on a
+            # copy so the caller's Config is never mutated
+            import dataclasses as _dc
+
+            config = _dc.replace(config).apply_autotune(shape, arr.dtype)
+
+        if config.decomposition == decomposition_type.Hybrid and not _hybrid_worthwhile(shape):
+            # Hybrid pads every axis to x8 (reference: shapes padded to x8,
+            # HybridHierarchyDataRefactor.hpp:21-58); on small or awkward
+            # shapes the padding eats the ratio, so fall back to the
+            # MultiDim transform. The effective choice lands in the header,
+            # so decompression needs no knowledge of this rule.
+            import dataclasses as _dc
+
+            config = _dc.replace(config, decomposition=decomposition_type.MultiDim)
 
         if config.compressor == compressor_type.ZFP:
             return _compress_zfp_path(arr, tol, s, mode, config, dt, shape)
@@ -905,6 +951,13 @@ def compress_roi(
     """Compress with a finer error bound (tol/roi_factor) inside a region
     of interest. roi_mask: boolean array of the data's shape."""
     config = config or Config()
+    if config.decomposition == decomposition_type.Hybrid:
+        # ROI step multipliers are defined on the MultiDim nested-box
+        # hierarchy (ops/roi.py); the Hybrid default falls back here and
+        # the effective choice is recorded in the header
+        import dataclasses as _dc
+
+        config = _dc.replace(config, decomposition=decomposition_type.MultiDim)
     try:
         from .ops.roi import roi_map_nested
 

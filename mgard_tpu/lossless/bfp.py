@@ -66,6 +66,7 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 SB_BLOCKS = 16384  # r3 u16 sweep: enc 15.6/dec 22.8 GB/s vs 14.6/18.6 at 8192
+SB_PALLAS_MIN = 8192  # smallest superblock the Pallas kernels engage for
 SB_BLOCKS_SMALL = 256
 E_DEFAULT = 8
 LANES = 128
@@ -448,14 +449,22 @@ def encode_device(symbols, config=None):
     n = int(symbols.shape[0])
     if n == 0:
         return ("empty",)
-    sb = _choose_sb(n)
+    sb = int(getattr(config, "bfp_sb_blocks", 0) or 0) or _choose_sb(n)
+    if sb % LANES or sb < LANES:
+        raise ValueError(f"bfp_sb_blocks must be a multiple of {LANES}, got {sb}")
+    if n < sb * BS:
+        sb = _choose_sb(n)  # stream smaller than one tuned superblock
     npad = _pad_to(n, sb)
     sym = jnp.asarray(symbols).astype(jnp.int32).ravel()
     if npad != n:
         sym = jnp.concatenate([sym, jnp.zeros(npad - n, jnp.int32)])
     NB = npad // BS
-    use_pallas = _use_pallas() and sb >= SB_BLOCKS
+    use_pallas = _use_pallas() and sb >= SB_PALLAS_MIN
     E = int(getattr(config, "bfp_resid_planes", 0) or E_DEFAULT)
+    if not 1 <= E <= 15:
+        # residual lengths are serialized as 4-bit nibbles; E >= 16 would
+        # silently overflow into the neighbouring nibble and corrupt decode
+        raise ValueError(f"bfp_resid_planes must be in [1, 15], got {E}")
     K = int(getattr(config, "bfp_base_planes", 0) or 0)
     key = (npad, E)
     if not K:
@@ -554,7 +563,7 @@ def decode(data: bytes, offset: int = 0):
     ids_pad[:cnt] = ids
     blk_pad = np.zeros((exc_cap, CHUNK * BS), np.int32)
     blk_pad[:cnt] = blocks
-    use_pallas = _use_pallas() and sb >= SB_BLOCKS
+    use_pallas = _use_pallas() and sb >= SB_PALLAS_MIN
     sym = decode_core(
         jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
         jnp.asarray(ids_pad), jnp.asarray(blk_pad),

@@ -25,6 +25,12 @@ def lossless_compress(quantized_flat, config: Config) -> bytes:
     """Compress a flat device int32 symbol array to bytes."""
     lt = config.lossless
     n = int(quantized_flat.shape[0])
+    if lt in (lossless_type.BFP, lossless_type.BFP_Zstd):
+        # small streams fall back to BFX (see highlevel._effective_raw_lt);
+        # the backend id written below keeps the blob self-describing
+        from ..highlevel import _effective_raw_lt
+
+        lt = _effective_raw_lt(lt, n)
     if lt in (lossless_type.Huffman, lossless_type.Huffman_Zstd, lossless_type.Huffman_LZ4):
         if getattr(config, "huffman_mono", True):
             from . import huffman_mono

@@ -37,13 +37,35 @@ from .components import (
     level_num_elems,
 )
 
-_MAGIC = b"MDRTPU1\x00"
+# Bumped ...1 -> ...2 with the round-3 layout change (reorg_s double +
+# interleaver byte): older MDR streams are rejected instead of mis-parsed.
+_MAGIC = b"MDRTPU2\x00"
 
 
 # per-plane codec ids (reference: MDR-X/LosslessCompressor component kit)
 PLANE_RAW = 0
 PLANE_ZLIB = 1
 PLANE_BFX = 2
+
+
+def decode_plane_blob(blob: bytes, codec: int, m: int) -> np.ndarray:
+    """Decode one stored bitplane blob to its (m,) uint32 row.
+
+    Single decode point for every reconstruct path (single-device and
+    sharded) so a codec supported by the writer can never be unsupported by
+    a reader."""
+    if codec == PLANE_ZLIB:
+        raw = zlib.decompress(blob)
+    elif codec == PLANE_BFX:
+        from ..lossless import bfx as _bfx
+
+        syms, _ = _bfx.decode(blob)
+        raw = np.asarray(syms).view(np.uint32)[:m].tobytes()
+    elif codec == PLANE_RAW:
+        raw = blob
+    else:
+        raise FormatError(f"unsupported MDR plane codec id {codec}")
+    return np.frombuffer(raw, "<u4", count=m)
 
 
 @dataclasses.dataclass
@@ -113,7 +135,9 @@ class RefactoredMetadata:
             body += struct.pack("<iQ", lm.exp, lm.n)
             body += struct.pack("<I", len(lm.plane_sizes))
             for sz, raw in zip(lm.plane_sizes, lm.plane_raw):
-                body += struct.pack("<IB", sz, 1 if raw else 0)
+                # full codec id (PLANE_RAW/ZLIB/BFX), not a boolean — a
+                # 1-if-truthy pack would silently relabel BFX planes as zlib
+                body += struct.pack("<IB", sz, int(raw))
             body += np.asarray(lm.err_max, "<f8").tobytes()
             body += np.asarray(lm.err_sq, "<f8").tobytes()
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
@@ -122,6 +146,11 @@ class RefactoredMetadata:
     @classmethod
     def deserialize(cls, data: bytes) -> tuple["RefactoredMetadata", int]:
         if data[:8] != _MAGIC:
+            if data[:6] == b"MDRTPU":
+                raise FormatError(
+                    "mdr-tpu stream written by an incompatible format "
+                    "revision — re-refactor with this version"
+                )
             raise FormatError("not an mdr-tpu stream")
         size, crc = struct.unpack_from("<II", data, 8)
         body = bytes(data[16 : 16 + size])
@@ -401,18 +430,7 @@ def MDReconstruct(
         nrows = (sr + b) if b > 0 else 0
         rows = np.zeros((nrows, m), np.uint32)
         for p in range(nrows):
-            blob = data.planes[l][p]
-            codec = int(lm.plane_raw[p])
-            if codec == PLANE_ZLIB:
-                raw = zlib.decompress(blob)
-            elif codec == PLANE_BFX:
-                from ..lossless import bfx as _bfx
-
-                syms, _ = _bfx.decode(blob)
-                raw = np.asarray(syms).view(np.uint32)[:m].tobytes()
-            else:
-                raw = blob
-            rows[p] = np.frombuffer(raw, "<u4", count=m)
+            rows[p] = decode_plane_blob(data.planes[l][p], int(lm.plane_raw[p]), m)
         planes_list.append(jnp.asarray(rows))
         exps.append(lm.exp)
 

@@ -338,12 +338,21 @@ def recompose_level_fast(reo, hier: Hierarchy, l: int, orthogonal: bool):
     return interp + resid
 
 
+# Largest finest-level axis the dense MXU operators are allowed to build.
+# Each per-(level, axis) operator is an (nf x nf) matrix: 4096^2 f32 = 64 MB
+# and an O(nf) work blow-up vs the O(1)-depth slice path, both acceptable;
+# a 131073-sample 1D axis would be a ~68 GB matrix. Long axes (1D signals,
+# anisotropic grids) use the split/lerp/merge path instead.
+_FAST_MAX_AXIS = 4096
+
+
 def _use_fast(v, hier: Hierarchy) -> bool:
     return (
         not _be.is_np(v)
         and hier.dtype == np.float32
         and v.dtype == np.float32
         and hier.D >= 1
+        and max(hier.level_shape[hier.l_target]) <= _FAST_MAX_AXIS
     )
 
 

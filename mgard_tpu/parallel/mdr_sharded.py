@@ -34,6 +34,7 @@ from ..mdr.api import (
     RefactoredData,
     RefactoredMetadata,
     _reconstruct_device,
+    decode_plane_blob,
 )
 from ..mdr.components import interleave_level, level_num_elems
 from ..ops.refactor import decompose
@@ -195,9 +196,9 @@ def MDReconstructSharded(
             lvl_meta = dmdr.metas[d].levels[l]
             exps[d, l] = lvl_meta.exp
             for p in range(nrows):
-                blob = dmdr.datas[d].planes[l][p]
-                raw = zlib.decompress(blob) if lvl_meta.plane_raw[p] == 1 else blob
-                stack[d, p] = np.frombuffer(raw, "<u4", count=m)
+                stack[d, p] = decode_plane_blob(
+                    dmdr.datas[d].planes[l][p], int(lvl_meta.plane_raw[p]), m
+                )
         planes_list.append(stack)
 
     negabinary = sr == 0

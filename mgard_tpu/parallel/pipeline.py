@@ -96,6 +96,7 @@ def compress_shards_symbols(
     axis: str = "subdomain",
     n_total_subdomains: Optional[int] = None,
     extra_norm: float = 0.0,
+    total_dof: Optional[int] = None,
 ):
     """Sharded decompose + raw-symbol quantize (the BFX-class path).
 
@@ -104,12 +105,15 @@ def compress_shards_symbols(
     is the O(1) psum/pmax for the norm — the reference's MPI_Allreduce
     (pmdr-x-qoi.cpp:891-935) riding ICI. extra_norm folds in the norm
     contribution of subdomains outside the mesh (the remainder chunk):
-    max for L-inf, sum-of-squares for L2.
+    max for L-inf, sum-of-squares for L2. total_dof is the exact global
+    element count for REL-L2 normalization (a remainder subdomain is
+    smaller than a mesh chunk, so n_sub * chunk_elems would overcount).
     """
     s_inf = math.isinf(s)
     orthogonal = not s_inf
     n_sub = n_total_subdomains or vs.shape[0]
-    total_dof = n_sub * hier.total_num_elems
+    if total_dof is None:
+        total_dof = n_sub * hier.total_num_elems
 
     def shard_fn(v_shard, tol_s, s_s, extra):
         if rel:
@@ -213,10 +217,12 @@ def compress_sharded(
             "other backends)"
         )
     if config.decomposition == decomposition_type.Hybrid:
-        raise ValueError(
-            "compress_sharded uses the MultiDim transform; Hybrid subdomains "
-            "go through mgard_tpu.compress"
-        )
+        # the sharded pipeline runs the MultiDim transform; the default
+        # Config selects Hybrid for the single-device flagship, so fall back
+        # transparently (recorded in the written metadata, not an error)
+        import dataclasses as _dc
+
+        config = _dc.replace(config, decomposition=decomposition_type.MultiDim)
     mode = mode if mode is not None else error_bound_type.ABS
     mesh = mesh or make_subdomain_mesh()
     axis = mesh.axis_names[0]
@@ -252,16 +258,17 @@ def compress_sharded(
     sym, norm = compress_shards_symbols(
         vs, hier, mesh, tol, s, rel, config.normalize_coordinates, axis=axis,
         n_total_subdomains=S, extra_norm=extra_norm,
+        total_dof=int(np.prod(shape)),
     )
     if rel and not s_inf and config.normalize_coordinates:
         # the in-graph norm already divides by total dof; nothing to fix up
         pass
 
     # ---- per-subdomain entropy encode + serialize (host loop over shards)
-    mod, zstd_stage = _raw_codec(config.lossless)
     sections = []
     for i in range(n_dev):
-        state = _raw_encode_device(sym[i].ravel(), config)
+        lt_eff, state = _raw_encode_device(sym[i].ravel(), config)
+        mod, zstd_stage = _raw_codec(lt_eff)
         inner = mod.serialize_device(state)
         if zstd_stage:
             from ..lossless import host as _host
@@ -269,7 +276,7 @@ def compress_sharded(
             inner = _host.zstd_compress(inner, config.zstd_compress_level)
         sections.append(
             _empty_outliers()
-            + struct.pack(_LHDR, int(config.lossless), len(inner))
+            + struct.pack(_LHDR, int(lt_eff), len(inner))
             + inner
         )
     if has_rem:

@@ -83,6 +83,22 @@ class TensorQuantityOfInterest:
         coords_list = (
             [np.asarray(c, np.float64) for c in coords] if coords is not None else None
         )
+        # the factor depends only on (shape, s, coords, decomposition,
+        # weights) — cache it: one jax.vjp through recompose in f64 is tens
+        # of seconds on CPU and the decomposed path calls this per subdomain
+        w_for_key = self.weights if weights is None else np.asarray(weights, np.float64)
+        key = (
+            tuple(int(x) for x in shape),
+            float(s),
+            config.decomposition,
+            tuple(c.tobytes() for c in coords_list) if coords_list else None,
+            hash(w_for_key.tobytes()),
+        )
+        cache = getattr(self, "_mlf_cache", None)
+        if cache is None:
+            cache = self._mlf_cache = {}
+        if key in cache:
+            return cache[key]
         hier = get_hierarchy(shape, np.float64, coords_list, config)
         orthogonal = not math.isinf(s)
 
@@ -108,7 +124,9 @@ class TensorQuantityOfInterest:
             if not math.isinf(s):
                 step /= float(hier.vol_sqrt[l])
             total += 0.5 * step * float(np.abs(wt[levels == l]).sum())
-        return total * 1.0001  # float-noise safety margin
+        out = total * 1.0001  # float-noise safety margin
+        cache[key] = out
+        return out
 
 
 def compress_qoi(

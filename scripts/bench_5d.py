@@ -50,8 +50,13 @@ def main():
           f"{jax.default_backend()}")
     cfg = mgard_tpu.Config()
     hier = get_hierarchy(shape, np.float32, None, cfg)
+    # hierarchical s=inf fast path, exactly what compress() uses
+    # (infer_orthogonal_projection(inf) -> False): quantizer 2*tol/(L+1)
+    # instead of the orthogonal-projection constant with its 1+3^D = 244
+    # divisor at D=5, which over-delivered the bound ~250x at ratio 2.18
+    # (r3 VERDICT #9)
     q = hier.quantizers(tol, float("inf"), 0.0, error_bound_type.ABS,
-                        decomposition_type.MultiDim, True)
+                        decomposition_type.MultiDim, False)
     quant = jnp.asarray(q)
     vj = jnp.asarray(v)
     N = int(np.prod(shape))
@@ -62,7 +67,7 @@ def main():
     # production parameter selection (encode_device's logic): K from the
     # chunk-max width histogram, exception bucket sized from it
     E = bfp.E_DEFAULT
-    sym0 = H._compress_core_sym(vj, quant, hier, True, True).ravel()
+    sym0 = H._compress_core_sym(vj, quant, hier, False, True).ravel()
     sym0 = jnp.concatenate([sym0, jnp.zeros(npad - N, jnp.int32)])
     hcw = np.asarray(bfp._width_hist(sym0))
     K = bfp.choose_K(hcw, E)
@@ -72,7 +77,7 @@ def main():
 
     @jax.jit
     def comp(vj, quant):
-        sym = H._compress_core_sym(vj, quant, hier, True, True).ravel()
+        sym = H._compress_core_sym(vj, quant, hier, False, True).ravel()
         if npad != N:
             sym = jnp.concatenate([sym, jnp.zeros(npad - N, jnp.int32)])
         return bfp.encode_core(sym, K, E, sb, exc_cap, on_tpu)
@@ -81,7 +86,7 @@ def main():
     def decomp(base, crl, resid2d, exc_ids, exc_blocks, quant):
         sym = bfp.decode_core(base, crl, resid2d, exc_ids, exc_blocks,
                               K, E, sb, on_tpu, NB)[:N]
-        return H._decompress_core_sym(sym.reshape(shape), quant, hier, True, True)
+        return H._decompress_core_sym(sym.reshape(shape), quant, hier, False, True)
 
     noop = jax.jit(lambda x: x[0, 0, 0, 0, 0] * 1.0)
     float(noop(vj))

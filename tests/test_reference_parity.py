@@ -80,6 +80,51 @@ def test_1d_decomposition_matches_reference(tag):
     np.testing.assert_allclose(ours, mapped, rtol=tol, atol=tol)
 
 
+_X_SHAPES = {
+    "3d65_f32": ((65, 65, 65), np.float32),
+    "3d65_f64": ((65, 65, 65), np.float64),
+    "3d606570_f32": ((60, 65, 70), np.float32),
+}
+
+
+@pytest.mark.parametrize(
+    "tag,variant",
+    [
+        ("3d65_f32", "hier"),
+        ("3d65_f32", "orth"),
+        ("3d65_f64", "hier"),
+        ("3d65_f64", "orth"),
+        ("3d606570_f32", "hier"),
+        ("3d606570_f32", "orth"),
+    ],
+)
+def test_3d_decomposition_matches_mgardx_serial(tag, variant):
+    """3D coefficient parity against the reference MGARD-X SERIAL backend
+    at >= 65^3, ulp-class (r3 VERDICT #5): catches any wrong lerp weight or
+    correction stencil. Goldens from tests/golden/generate_x.sh run the
+    reference's own MultiDimension decompose (reference:
+    include/mgard-x/DataRefactoring/MultiDimension/DataRefactoring.hpp:24-178)
+    whose nested-box output layout our decompose reproduces directly."""
+    import jax.numpy as jnp
+
+    from mgard_tpu.hierarchy import get_hierarchy
+    from mgard_tpu.ops.refactor import decompose
+
+    shape, dt = _X_SHAPES[tag]
+    v = np.fromfile(os.path.join(GOLD, f"input_x_{tag}.bin"), dt).reshape(shape)
+    ref = np.fromfile(
+        os.path.join(GOLD, f"decomposed_x_{tag}_{variant}.bin"), dt
+    ).reshape(shape)
+    hier = get_hierarchy(shape, dt, None, mgard_tpu.Config())
+    ours = np.asarray(
+        decompose(jnp.asarray(v), hier, orthogonal=(variant == "orth"))
+    )
+    # ulp-class: the shared arithmetic is identical up to f32/f64 rounding
+    # of the per-axis operator application order
+    tol = 5e-6 if dt == np.float32 else 1e-13
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=tol)
+
+
 def _manifest():
     with open(os.path.join(GOLD, "manifest.json")) as f:
         entries = [e for e in json.load(f) if e]
