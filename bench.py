@@ -120,8 +120,11 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     print(f"# compile+first decompress: {td_compile:.1f}s", file=sys.stderr)
 
     ok = err <= tol
+    import struct as _struct
+
     comp_bytes = (total_i * 4 + K * NB * 4 + NC // 2
-                  + int(exc_count) * (4 + 512) + 38)
+                  + int(exc_count) * (4 + bfp.CHUNK * 32 * 4)
+                  + _struct.calcsize(bfp._HDR))
     ratio = nbytes / comp_bytes
     print(f"# n={n} err={err:.3e} bound_ok={ok} ratio={ratio:.2f}",
           file=sys.stderr)

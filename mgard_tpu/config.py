@@ -124,6 +124,10 @@ class Config:
     # BFP superblock size in 32-symbol blocks (None = platform default;
     # set by utils.autotuner.apply_autotune from the persistent table).
     bfp_sb_blocks: Optional[int] = None
+    # BFP sort-chunk size in blocks (0 = default 8). Bigger chunks make the
+    # sort-gather rows wider (the dominant encode cost) but coarsen the
+    # chunk-max width, trading ratio for speed. Recorded in each blob.
+    bfp_chunk: int = 0
     # Consult the persistent autotuner table automatically on compress()
     # (the reference's AutoTuningTable lookup per kernel launch,
     # AutoTuner.h:46-118). Explicitly-set knobs are never overridden.

@@ -1,0 +1,340 @@
+"""Reader for reference MGARD-X compressed streams (cross-decoding).
+
+The reference's self-describing format (reference:
+src/mgard-x/Metadata/Metadata.cpp:267-492) is
+
+    b"MGARD" | header_size: u64 LE | header_crc32: u32 LE | protobuf Header
+
+followed by, per subdomain, `compressed_size: u64 LE` + the low-level
+compressor's payload (reference: GPUPipelines.hpp:187-191). The header is
+the `mgard::pb::Header` protobuf message (reference: src/mgard.proto:175-193);
+it is parsed here with a minimal dependency-free wire-format reader, so no
+generated protobuf bindings are needed.
+
+Supported payloads: lossless_type X_LZ4 — the portable block-LZ4 container
+(reference: include/mgard-x/Lossless/LZ4/LZ4.hpp:24-30, standard LZ4 block
+format per chunk, decoded with this repo's native/lz4.cpp) holding the raw
+little-endian int64 quantized stream (QUANTIZED_INT, signed: the LZ4 path
+sets prep_huffman=false, reference LinearQuantization.hpp:321-327, so there
+is no dictionary shift and no outlier list). Reconstruction then runs this
+framework's own dequantize + recompose, which is pinned ulp-class to the
+reference MGARD-X serial transform (tests/test_reference_parity.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import struct
+import zlib
+from typing import List, Optional
+
+import numpy as np
+
+from ..dtypes import error_bound_type
+from .metadata import FormatError
+
+SIGNATURE = b"MGARD"
+
+# mgard::pb::Encoding::Compressor values (reference: src/mgard.proto:138-150)
+ENC_NOOP = 0
+ENC_CPU_HUFFMAN_ZLIB = 1
+ENC_CPU_HUFFMAN_ZSTD = 2
+ENC_X_HUFFMAN = 3
+ENC_X_HUFFMAN_LZ4 = 4
+ENC_X_HUFFMAN_ZSTD = 5
+ENC_X_BLOCK_DELTA = 6
+ENC_X_LZ4 = 8
+ENC_X_SYMBOL_RANS = 9
+ENC_X_ZERORLE_RANS = 10
+
+
+# ----------------------------------------------------------------------
+# Minimal protobuf wire-format reader (proto3, no codegen)
+# ----------------------------------------------------------------------
+def _read_varint(buf: bytes, p: int):
+    out = 0
+    shift = 0
+    while True:
+        b = buf[p]
+        p += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, p
+        shift += 7
+        if shift > 70:
+            raise FormatError("malformed varint in reference header")
+
+
+def _parse_message(buf: bytes):
+    """field number -> list of raw values (int for varint/fixed, bytes for
+    length-delimited)."""
+    fields: dict = {}
+    p = 0
+    n = len(buf)
+    while p < n:
+        key, p = _read_varint(buf, p)
+        fnum, wtype = key >> 3, key & 7
+        if wtype == 0:  # varint
+            val, p = _read_varint(buf, p)
+        elif wtype == 1:  # 64-bit
+            val = struct.unpack_from("<Q", buf, p)[0]
+            p += 8
+        elif wtype == 2:  # length-delimited
+            ln, p = _read_varint(buf, p)
+            val = buf[p : p + ln]
+            p += ln
+        elif wtype == 5:  # 32-bit
+            val = struct.unpack_from("<I", buf, p)[0]
+            p += 4
+        else:
+            raise FormatError(f"unsupported protobuf wire type {wtype}")
+        fields.setdefault(fnum, []).append(val)
+    return fields
+
+
+def _first(fields, num, default=None):
+    v = fields.get(num)
+    return v[0] if v else default
+
+
+def _as_double(v) -> float:
+    return struct.unpack("<d", struct.pack("<Q", v))[0]
+
+
+def _packed_u64s(vals) -> List[int]:
+    """repeated uint64: packed (length-delimited varints) or unpacked."""
+    out: List[int] = []
+    for v in vals:
+        if isinstance(v, bytes):
+            p = 0
+            while p < len(v):
+                x, p = _read_varint(v, p)
+                out.append(x)
+        else:
+            out.append(int(v))
+    return out
+
+
+@dataclasses.dataclass
+class RefHeader:
+    shape: tuple
+    dtype: np.dtype
+    uniform: bool
+    coords: Optional[List[np.ndarray]]
+    ebtype: error_bound_type
+    s: float
+    tol: float
+    norm: float
+    decomposition: str  # "multidim" | "singledim" | "hybrid"
+    l_target: int
+    compressor: int  # Encoding.Compressor enum value
+    huff_dict_size: int
+    huff_block_size: int
+    dd_method: int  # DomainDecomposition.Method (0 = none)
+    dd_dim: int
+    dd_size: int
+    header_bytes: int  # total header size incl. preamble
+
+
+def parse_header(blob: bytes) -> RefHeader:
+    if blob[: len(SIGNATURE)] != SIGNATURE:
+        raise FormatError("not a reference MGARD stream (bad signature)")
+    p = len(SIGNATURE)
+    (hsize,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    (crc,) = struct.unpack_from("<I", blob, p)
+    p += 4
+    body = bytes(blob[p : p + hsize])
+    if len(body) != hsize:
+        raise FormatError("truncated reference header")
+    if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
+        raise FormatError("reference header CRC32 mismatch")
+    total_header = p + hsize
+
+    top = _parse_message(body)
+    # Header field numbers (reference: src/mgard.proto:175-193)
+    domain = _parse_message(_first(top, 4, b""))
+    dataset = _parse_message(_first(top, 5, b""))
+    err = _parse_message(_first(top, 6, b""))
+    dd = _parse_message(_first(top, 7, b""))
+    fdec = _parse_message(_first(top, 8, b""))
+    enc = _parse_message(_first(top, 11, b""))
+
+    topo = _parse_message(_first(domain, 2, b""))
+    shape = tuple(_packed_u64s(topo.get(2, [])))
+    geometry = int(_first(domain, 3, 0))
+    coords = None
+    uniform = geometry == 0  # UNIT_CUBE
+    if not uniform:
+        cube = _parse_message(_first(domain, 4, b""))
+        flat = np.frombuffer(b"".join(
+            v for v in cube.get(2, []) if isinstance(v, bytes)
+        ), "<f8")
+        coords = []
+        off = 0
+        for n in shape:
+            coords.append(flat[off : off + n].copy())
+            off += n
+
+    dtype = np.dtype(np.float64 if int(_first(dataset, 1, 0)) == 1 else np.float32)
+
+    mode = int(_first(err, 1, 0))  # 0 ABS, 1 REL
+    ntype = int(_first(err, 2, 0))  # 0 L_INFINITY, 1 S_NORM
+    s = _as_double(_first(err, 3, 0))
+    norm = _as_double(_first(err, 4, 0)) if 4 in err else 0.0
+    tol = _as_double(_first(err, 5, 0))
+    if ntype == 0:
+        s = math.inf
+
+    hierarchy = int(_first(fdec, 2, 1))
+    decomposition = {1: "multidim", 2: "singledim", 3: "hybrid"}.get(
+        hierarchy, "multidim"
+    )
+    l_target = int(_first(fdec, 3, 0))
+
+    return RefHeader(
+        shape=shape,
+        dtype=dtype,
+        uniform=uniform,
+        coords=coords,
+        ebtype=error_bound_type.REL if mode == 1 else error_bound_type.ABS,
+        s=s,
+        tol=tol,
+        norm=norm,
+        decomposition=decomposition,
+        l_target=l_target,
+        compressor=int(_first(enc, 2, 0)),
+        huff_dict_size=int(_first(enc, 3, 0)),
+        huff_block_size=int(_first(enc, 4, 0)),
+        dd_method=int(_first(dd, 1, 0)),
+        dd_dim=int(_first(dd, 2, 0)),
+        dd_size=int(_first(dd, 3, 0)),
+        header_bytes=total_header,
+    )
+
+
+# ----------------------------------------------------------------------
+# Payload decoders
+# ----------------------------------------------------------------------
+def _decode_x_lz4(payload: bytes) -> bytes:
+    """Reference portable-LZ4 container -> raw bytes (reference:
+    include/mgard-x/Lossless/LZ4/LZ4.hpp:24-30 layout, per-chunk standard
+    LZ4 block format decoded by native/lz4.cpp)."""
+    from ..lossless import lz4 as _lz4
+
+    if payload[:7] != b"MGXLZ4P":
+        raise FormatError("bad reference LZ4 container signature")
+    p = 8
+    n, chunk_size, nchunks = struct.unpack_from("<QQQ", payload, p)
+    p += 24
+    comp_bytes = np.frombuffer(payload, "<u8", nchunks, p)
+    p += 8 * nchunks
+    (packed_bytes,) = struct.unpack_from("<Q", payload, p)
+    p += 8
+    out = bytearray()
+    off = p
+    for i in range(nchunks):
+        clen = int(comp_bytes[i])
+        want = min(chunk_size, n - i * chunk_size)
+        out += _lz4.decompress(payload[off : off + clen], int(want))
+        off += clen
+    if len(out) != n:
+        raise FormatError("reference LZ4 container length mismatch")
+    return bytes(out)
+
+
+def decompress_reference(blob: bytes):
+    """Decompress a reference MGARD-X stream with this framework.
+
+    Returns (array, RefHeader). Raises FormatError for reference payloads
+    this build cannot decode (GPU-Huffman-class backends)."""
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..hierarchy import get_hierarchy
+    from ..highlevel import _decompress_core_sym, infer_orthogonal_projection
+
+    h = parse_header(blob)
+    if h.compressor != ENC_X_LZ4:
+        names = {
+            ENC_X_HUFFMAN: "X_HUFFMAN", ENC_X_HUFFMAN_LZ4: "X_HUFFMAN_LZ4",
+            ENC_X_HUFFMAN_ZSTD: "X_HUFFMAN_ZSTD", ENC_X_BLOCK_DELTA:
+            "X_BLOCK_DELTA", ENC_CPU_HUFFMAN_ZSTD: "CPU_HUFFMAN_ZSTD",
+            ENC_X_SYMBOL_RANS: "X_SYMBOL_RANS", ENC_X_ZERORLE_RANS:
+            "X_ZERORLE_RANS",
+        }
+        raise FormatError(
+            "reference stream uses lossless backend "
+            f"{names.get(h.compressor, h.compressor)}; this build cross-"
+            "decodes X_LZ4 streams — re-compress with -l lz4 or use the "
+            "reference library"
+        )
+    if h.decomposition != "multidim":
+        raise FormatError(
+            f"reference {h.decomposition} decomposition not supported for "
+            "cross-decoding (MultiDim only)"
+        )
+
+    cfg = Config()
+    # the reference derives l_target from the shape inside Hierarchy (its
+    # FunctionDecomposition.L_target field is not populated on compress),
+    # so the hierarchy is rebuilt with the default level rule here too
+    s_inf = math.isinf(h.s)
+    orthogonal = infer_orthogonal_projection(h.s)
+
+    # subdomain shapes: none (whole domain) or the reference MaxDim split
+    if h.dd_method == 0:
+        sub_shapes = [h.shape]
+        sub_slices = [tuple(slice(0, n) for n in h.shape)]
+    elif h.dd_method == 1:  # MAX_DIMENSION
+        d, sz = h.dd_dim, h.dd_size
+        sub_shapes, sub_slices = [], []
+        pos = 0
+        while pos < h.shape[d]:
+            take = min(sz, h.shape[d] - pos)
+            shp = list(h.shape)
+            shp[d] = take
+            sub_shapes.append(tuple(shp))
+            sub_slices.append(tuple(
+                slice(pos, pos + take) if i == d else slice(0, n)
+                for i, n in enumerate(h.shape)
+            ))
+            pos += take
+    else:
+        raise FormatError("unsupported reference domain decomposition method")
+
+    out = np.empty(h.shape, h.dtype)
+    p = h.header_bytes
+    for shp, sls in zip(sub_shapes, sub_slices):
+        (sec_size,) = struct.unpack_from("<Q", blob, p)
+        p += 8
+        payload = blob[p : p + sec_size]
+        p += sec_size
+        raw = _decode_x_lz4(payload)
+        sym = np.frombuffer(raw, "<i8").copy()
+        n_elems = int(np.prod(shp))
+        if sym.size != n_elems:
+            raise FormatError(
+                f"reference payload has {sym.size} symbols, expected {n_elems}"
+            )
+        sub_coords = (
+            [c[sl] for c, sl in zip(h.coords, sls)] if h.coords else None
+        )
+        hier = get_hierarchy(shp, h.dtype, sub_coords, cfg)
+        quant = hier.quantizers(
+            h.tol, h.s, h.norm, h.ebtype,
+            orthogonal_projection=orthogonal,
+        )
+        rec = _decompress_core_sym(
+            jnp.asarray(sym.reshape(shp)), jnp.asarray(quant), hier,
+            orthogonal, s_inf, False,
+        )
+        out[sls] = np.asarray(rec)
+    return out, h
+
+
+def sniff(blob: bytes) -> bool:
+    """True when the bytes start with the reference MGARD signature (and not
+    this framework's MGARDTPU magic)."""
+    return blob[:5] == SIGNATURE and blob[5:8] != b"TPU"

@@ -713,8 +713,22 @@ def decompress(
     """Decompress a self-describing mgard-tpu blob.
 
     Returns (array, status). Mirrors mgard_x::decompress
-    (reference: compress_x.hpp:109-154).
+    (reference: compress_x.hpp:109-154), including the reference's
+    header-sniffing dispatch (compress_internal.cpp:5-13): streams written
+    by the reference MGARD-X library route to the cross-decoder
+    (formats/ref_stream.py) when their lossless backend is supported.
     """
+    from .formats import ref_stream
+
+    if ref_stream.sniff(bytes(blob[:8])):
+        try:
+            out, _h = ref_stream.decompress_reference(blob)
+            return out, compress_status_type.Success
+        except (FormatError, struct.error, ValueError):
+            import traceback
+
+            traceback.print_exc()
+            return None, compress_status_type.Failure
     try:
         meta, off = Metadata.deserialize(blob)
     except (FormatError, struct.error):

@@ -29,12 +29,12 @@ Reference counterpart: the fixed-length+outlier design of BlockDelta/cuSZp
 (reference: include/mgard-x/Lossless/BlockDelta/*.hpp); the sorted-prefix
 placement is this framework's own.
 
-Blob format "BFP3" (little-endian):
-  header:  <4sQQBBIQ  magic, n, resid_rows (128-word rows), K, E,
-           sb_blocks, exc_count>
-  nibbles: ceil(NC/2) bytes — per-CHUNK residual lengths (chunk = 4
-           blocks, max of the blocks' rl) in NATURAL chunk order, low
-           nibble first
+Blob format "BFP4" (little-endian):
+  header:  <4sQQBBIBQ  magic, n, resid_rows (128-word rows), K, E,
+           sb_blocks, chunk_blocks C, exc_count>
+  nibbles: ceil(NC/2) bytes — per-CHUNK residual lengths (chunk = C
+           blocks, C in the header, max of the blocks' rl) in NATURAL
+           chunk order, low nibble first
   base:    NB*K u32 (per superblock: plane-major, chunks in SORTED order,
            blocks natural within chunk)
   resid:   resid_rows * 128 u32. Per superblock: planes K..K+E-1 in order,
@@ -70,10 +70,14 @@ SB_PALLAS_MIN = 8192  # smallest superblock the Pallas kernels engage for
 SB_BLOCKS_SMALL = 256
 E_DEFAULT = 8
 LANES = 128
-CHUNK = 4  # blocks per sort chunk (one 512 B gather row)
+# Blocks per sort chunk (a format parameter carried in the header).
+# Bigger chunks -> bigger sort-gather rows (the dominant encode cost on
+# this rig: XLA row gather pays ~30 ns/row regardless of width, so u16
+# rows want >= 512 B => C = 8) at the price of a coarser chunk-max width.
+CHUNK = 8
 
-_MAGIC = b"BFP3"
-_HDR = "<4sQQBBIQ"
+_MAGIC = b"BFP4"
+_HDR = "<4sQQBBIBQ"
 
 
 def _widths_from_max(mx):
@@ -301,9 +305,9 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
-                use_pallas: bool):
+                use_pallas: bool, C: int = CHUNK):
     """sym_padded (N,) int32, N % (sb*32) == 0.
 
     Returns (base (NSB, max(K,1), sb) u32 [sorted order], crl (NC,) i32
@@ -311,21 +315,22 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
     u32, resid_rows i32, exc_ids (exc_cap,) i32, exc_blocks (exc_cap, 32)
     i32, exc_count i32).
 
-    The sort unit is a CHUNK of 4 blocks (one 512 B row): XLA's TPU row
-    gather runs at ~42 GB/s on 512 B rows vs ~2.3 GB/s on 128 B block
-    rows (scripts/prof_gather.py), and the chunk-max width costs ~0.8
-    words/block of ratio on the bench field — the right trade by 18x."""
+    The sort unit is a CHUNK of C blocks: XLA's TPU row gather pays a
+    fixed ~30 ns per row regardless of row bytes (scripts/prof_gather.py,
+    r4 bandwidth probe: streaming runs at TB/s while the 1M-row gather
+    took 33 ms), so larger chunks cut the dominant encode cost linearly
+    at the price of a coarser chunk-max width."""
     N = sym_padded.shape[0]
     NB = N // BS
-    NC = NB // CHUNK
+    NC = NB // C
     NSB = NB // sb
-    sbc = sb // CHUNK
+    sbc = sb // C
     PR = sb // LANES
     CAP = E * PR
     # chunk widths: zigzag + full-lane max on the natural (NC, 128) layout
     # (no (NB, 32) reshape — minor dims < 128 get lane-padded 4x in HBM and
     # every op touching them pays 4x the traffic)
-    sym_rows = sym_padded.reshape(NC, CHUNK * BS)
+    sym_rows = sym_padded.reshape(NC, C * BS)
     zz_rows = _zigzag(sym_rows)
     cmx = jnp.max(zz_rows, axis=1)
     cw = _widths_from_max(cmx)
@@ -344,7 +349,7 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
     narrow = (K + E) <= 16
     payload = zz_rows.astype(jnp.uint16) if narrow else zz_rows
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * CHUNK, PR)
+    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * C, PR)
     # invert the chunk-rank permutation (scatter of unique indices) and
     # gather chunk rows into sorted order
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
@@ -366,16 +371,16 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
     return base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
-                sb: int, use_pallas: bool, NB: int):
+                sb: int, use_pallas: bool, NB: int, C: int = CHUNK):
     """Inverse of encode_core -> (N,) int32 symbols."""
-    NC = NB // CHUNK
+    NC = NB // C
     NSB = NB // sb
-    sbc = sb // CHUNK
+    sbc = sb // C
     PR = sb // LANES
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    cnt = cnt_c * CHUNK
+    cnt = cnt_c * C
     _, woff, sb_off, _ = _plan_offsets(cnt, PR)
     narrow = (K + E) <= 16
     out_dtype = jnp.uint16 if narrow else jnp.uint32
@@ -388,7 +393,7 @@ def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
     # un-sort: natural[c] = sorted[rank[c]] — one row gather (half width
     # on the narrow path), then widen + un-zigzag elementwise
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
-    zz_rows = jnp.take(zz_sorted.reshape(NC, CHUNK * BS), rank_g, axis=0)
+    zz_rows = jnp.take(zz_sorted.reshape(NC, C * BS), rank_g, axis=0)
     sym_rows = _unzigzag(zz_rows.astype(jnp.uint32))
     # patch exception chunks with their verbatim symbols (row scatter)
     sym_rows = sym_rows.at[exc_ids].set(exc_blocks, mode="drop")
@@ -401,11 +406,11 @@ def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
 _K_CACHE: dict = {}
 
 
-def choose_K(hist_cw: np.ndarray, E: int) -> int:
+def choose_K(hist_cw: np.ndarray, E: int, C: int = CHUNK) -> int:
     """Pick the base plane count minimizing expected words/block:
     cost(K) = K + E_cw[clip(cw-K,0,E)] + P_cw(cw>K+E) * 129/4, where cw is
-    the CHUNK-max width (each block pays its chunk's residual planes) and
-    an exception chunk ships 1 id + 128 raw words."""
+    the chunk-max width (each block pays its chunk's residual planes) and
+    an exception chunk ships 1 id + C*32 raw words."""
     totc = int(hist_cw.sum())
     if totc == 0:
         return 0
@@ -414,16 +419,16 @@ def choose_K(hist_cw: np.ndarray, E: int) -> int:
     for K in range(0, 33 - E):
         rlv = np.clip(w - K, 0, E)
         p_exc = hist_cw[K + E + 1 :].sum() / totc
-        c = K + float((hist_cw * rlv).sum()) / totc + p_exc * (1 + CHUNK * BS) / CHUNK
+        c = K + float((hist_cw * rlv).sum()) / totc + p_exc * (1 + C * BS) / C
         if c < best_c:
             best_k, best_c = K, c
     return best_k
 
 
-@jax.jit
-def _width_hist(sym):
+@partial(jax.jit, static_argnums=(1,))
+def _width_hist(sym, C: int = CHUNK):
     """Chunk-max width histogram (33,)."""
-    cmx = jnp.max(_zigzag(sym.reshape(-1, CHUNK * BS)), axis=1)
+    cmx = jnp.max(_zigzag(sym.reshape(-1, C * BS)), axis=1)
     return jnp.bincount(_widths_from_max(cmx), length=33)
 
 
@@ -465,29 +470,32 @@ def encode_device(symbols, config=None):
         # residual lengths are serialized as 4-bit nibbles; E >= 16 would
         # silently overflow into the neighbouring nibble and corrupt decode
         raise ValueError(f"bfp_resid_planes must be in [1, 15], got {E}")
+    C = int(getattr(config, "bfp_chunk", 0) or CHUNK)
+    if C < 1 or C > 255 or (sb % C) or (C * BS) % LANES:
+        raise ValueError(f"bfp_chunk must divide sb and fill whole lanes, got {C}")
     K = int(getattr(config, "bfp_base_planes", 0) or 0)
-    key = (npad, E)
+    key = (npad, E, C)
     if not K:
         if key in _K_CACHE:
             K = _K_CACHE[key][0]
         else:
-            hcw = np.asarray(_width_hist(sym))
-            K = choose_K(hcw, E)
+            hcw = np.asarray(_width_hist(sym, C))
+            K = choose_K(hcw, E, C)
             exc0 = int(hcw[K + E + 1 :].sum())
-            _K_CACHE[key] = (K, _exc_bucket(exc0, NB // CHUNK))
-    exc_cap = _K_CACHE.get(key, (K, max(256, (NB // CHUNK) >> 8)))[1]
-    out = encode_core(sym, K, E, sb, exc_cap, use_pallas)
+            _K_CACHE[key] = (K, _exc_bucket(exc0, NB // C))
+    exc_cap = _K_CACHE.get(key, (K, max(256, (NB // C) >> 8)))[1]
+    out = encode_core(sym, K, E, sb, exc_cap, use_pallas, C)
     # sym rides along so serialize_device can re-dispatch on the rare
     # exception-bucket overflow without the caller keeping state
-    return ("bfp", n, K, E, sb, exc_cap, use_pallas, sym, out)
+    return ("bfp", n, K, E, sb, exc_cap, use_pallas, sym, out, C)
 
 
 def serialize_device(state) -> bytes:
     if state[0] == "empty":
-        return struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL, 0)
+        return struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL, CHUNK, 0)
     from .huffman import device_get_prefix
 
-    _, n, K, E, sb, exc_cap, use_pallas, sym, out = state
+    _, n, K, E, sb, exc_cap, use_pallas, sym, out, C = state
     base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
     cnt = int(exc_count)
     npad = _pad_to(n, sb)
@@ -495,13 +503,13 @@ def serialize_device(state) -> bytes:
     if cnt > exc_cap:
         # capacity ladder: re-dispatch once at the exact count's bucket
         # (bounded recompiles, mirrors the outlier-capture ladder)
-        exc_cap = _exc_bucket(cnt, NB // CHUNK)
-        _K_CACHE[(npad, E)] = (K, exc_cap)
-        out = encode_core(sym, K, E, sb, exc_cap, use_pallas)
+        exc_cap = _exc_bucket(cnt, NB // C)
+        _K_CACHE[(npad, E, C)] = (K, exc_cap)
+        out = encode_core(sym, K, E, sb, exc_cap, use_pallas, C)
         base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
         cnt = int(exc_count)
     rows_i = int(resid_rows)
-    NC = NB // CHUNK
+    NC = NB // C
     rl_h = np.asarray(rl).astype(np.uint8)  # (NC,) chunk residual lengths
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
@@ -512,9 +520,9 @@ def serialize_device(state) -> bytes:
     ).astype("<u4")
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
     blk_h = np.asarray(exc_blocks[:cnt]).astype("<i4") if cnt else np.zeros(
-        (0, CHUNK * BS), "<i4"
+        (0, C * BS), "<i4"
     )
-    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, cnt)
+    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, C, cnt)
     return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
             + resid_h.tobytes() + ids_h.tobytes() + blk_h.tobytes())
 
@@ -524,7 +532,7 @@ def encode(symbols, config=None) -> bytes:
 
 
 def decode(data: bytes, offset: int = 0):
-    magic, n, resid_rows, K, E, sb, cnt = struct.unpack_from(_HDR, data, offset)
+    magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(_HDR, data, offset)
     p = offset + struct.calcsize(_HDR)
     if magic != _MAGIC:
         raise ValueError("bad BFP blob")
@@ -535,7 +543,7 @@ def decode(data: bytes, offset: int = 0):
     NSB = NB // sb
     PR = sb // LANES
     CAP = E * PR
-    NC = NB // CHUNK
+    NC = NB // C
     nnib = (NC + 1) // 2
     nib = np.frombuffer(data, np.uint8, nnib, p)
     p += nnib
@@ -551,23 +559,23 @@ def decode(data: bytes, offset: int = 0):
     p += 4 * resid_rows * LANES
     ids = np.frombuffer(data, "<u4", cnt, p).astype(np.int32)
     p += 4 * cnt
-    blocks = np.frombuffer(data, "<i4", cnt * CHUNK * BS, p).reshape(
-        cnt, CHUNK * BS
+    blocks = np.frombuffer(data, "<i4", cnt * C * BS, p).reshape(
+        cnt, C * BS
     )
-    p += 4 * cnt * CHUNK * BS
+    p += 4 * cnt * C * BS
     # capacity slack: the last superblock's window reads up to CAP rows
     rbuf = np.zeros((resid_rows + CAP, LANES), np.uint32)
     rbuf.reshape(-1)[: resid_rows * LANES] = resid
     exc_cap = _exc_bucket(cnt, NC) if cnt else 256
     ids_pad = np.full(exc_cap, NC, np.int32)
     ids_pad[:cnt] = ids
-    blk_pad = np.zeros((exc_cap, CHUNK * BS), np.int32)
+    blk_pad = np.zeros((exc_cap, C * BS), np.int32)
     blk_pad[:cnt] = blocks
     use_pallas = _use_pallas() and sb >= SB_PALLAS_MIN
     sym = decode_core(
         jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
         jnp.asarray(ids_pad), jnp.asarray(blk_pad),
-        K, E, sb, use_pallas, NB,
+        K, E, sb, use_pallas, NB, C,
     )
     return sym[:n], p - offset
 
@@ -575,7 +583,8 @@ def decode(data: bytes, offset: int = 0):
 # ----------------------------------------------------------------------
 # NumPy reference (format oracle for tests)
 # ----------------------------------------------------------------------
-def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
+def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL,
+              C: int = CHUNK):
     """Slow host reference: returns (crl u8 (NC,) natural chunk order,
     base u32 (chunk-sorted, plane-major per superblock), resid u32
     (row-padded sorted-prefix planes), exc_ids, exc_blocks)."""
@@ -595,15 +604,15 @@ def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
                 word |= ((int(Z[b, k]) >> j) & 1) << k
             planes[j, b] = word
     rl = np.clip(widths - K, 0, E).astype(np.uint8)
-    crl = rl.reshape(-1, CHUNK).max(axis=1)  # (NC,) natural chunk order
-    cw = widths.reshape(-1, CHUNK).max(axis=1)
+    crl = rl.reshape(-1, C).max(axis=1)  # (NC,) natural chunk order
+    cw = widths.reshape(-1, C).max(axis=1)
     exc_mask = cw > K + E
     # exception chunks: crl = 0 and zeroed plane content (their payload
     # ships verbatim in the exception side stream)
     crl = np.where(exc_mask, 0, crl).astype(np.uint8)
-    exc_blk = np.repeat(exc_mask, CHUNK)
+    exc_blk = np.repeat(exc_mask, C)
     planes[:, exc_blk] = 0
-    sbc = sb // CHUNK
+    sbc = sb // C
     bases, resid = [], []
     for sbi in range(NB // sb):
         lo, hi = sbi * sb, (sbi + 1) * sb
@@ -611,16 +620,16 @@ def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL):
         # stable descending sort of CHUNKS; blocks follow their chunk in
         # natural within-chunk order
         order_c = np.argsort(-crl_sb, kind="stable")
-        order = (order_c[:, None] * CHUNK + np.arange(CHUNK)[None, :]).reshape(-1)
+        order = (order_c[:, None] * C + np.arange(C)[None, :]).reshape(-1)
         if K:
             bases.append(planes[:K, lo:hi][:, order].reshape(-1))
         for j in range(E):
             ccnt_j = int((crl_sb > j).sum())
-            row = planes[K + j, lo:hi][order[: ccnt_j * CHUNK]]
-            pad = (-ccnt_j * CHUNK) % LANES
+            row = planes[K + j, lo:hi][order[: ccnt_j * C]]
+            pad = (-ccnt_j * C) % LANES
             resid.append(np.concatenate([row, np.zeros(pad, np.uint32)]))
     base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
     resid = np.concatenate(resid) if resid else np.zeros(0, np.uint32)
     exc_ids = np.nonzero(exc_mask)[0].astype(np.uint32)
-    exc_blocks = s.reshape(-1, CHUNK * BS)[exc_ids].astype(np.int32)
+    exc_blocks = s.reshape(-1, C * BS)[exc_ids].astype(np.int32)
     return crl, base, resid, exc_ids, exc_blocks

@@ -82,6 +82,8 @@ def apply_autotune(config, shape, dtype) -> None:
         config.huff_block_size = int(entry["huff_block_size"])
     if "bfp_sb_blocks" in entry and config.bfp_sb_blocks is None:
         config.bfp_sb_blocks = int(entry["bfp_sb_blocks"])
+    if "bfp_chunk" in entry and not config.bfp_chunk:
+        config.bfp_chunk = int(entry["bfp_chunk"])
     if "bfp_base_planes" in entry and not config.bfp_base_planes:
         config.bfp_base_planes = int(entry["bfp_base_planes"])
     if "bfp_resid_planes" in entry and not config.bfp_resid_planes:
@@ -173,6 +175,8 @@ def tune_bfp(n: int, verbose: bool = True) -> dict:
     hcw = np.asarray(bfp._width_hist(sym))
     K0 = bfp.choose_K(hcw, E0)
     results = {}
+    # sweep (sb, chunk): sb trades kernel grid size, chunk trades the
+    # sort-gather row width (dominant cost) against chunk-max ratio
     for sb in BFP_SB_CANDIDATES:
         if n < sb * 32:
             continue
@@ -182,27 +186,32 @@ def tune_bfp(n: int, verbose: bool = True) -> dict:
         if npad != n:
             s = jnp.concatenate([s, jnp.zeros(npad - n, jnp.int32)])
         NB = npad // 32
-        exc_cap = bfp._exc_bucket(int(hcw[K0 + E0 + 1:].sum()), NB // bfp.CHUNK)
-        try:
-            t_enc = _time_device(
-                lambda s=s, sb=sb, cap=exc_cap: bfp.encode_core(
-                    s, K0, E0, sb, cap, use_pallas)
+        for C in (4, 8, 16):
+            exc_cap = bfp._exc_bucket(
+                int(hcw[K0 + E0 + 1:].sum()), NB // C
             )
-            out = bfp.encode_core(s, K0, E0, sb, exc_cap, use_pallas)
-            t_dec = _time_device(
-                lambda o=out, sb=sb, NB=NB: bfp.decode_core(
-                    o[0], o[1], o[2], o[4], o[5], K0, E0, sb, use_pallas, NB)
-            )
-        except Exception as e:  # candidate not lowerable on this platform
+            try:
+                t_enc = _time_device(
+                    lambda s=s, sb=sb, cap=exc_cap, C=C: bfp.encode_core(
+                        s, K0, E0, sb, cap, use_pallas, C)
+                )
+                out = bfp.encode_core(s, K0, E0, sb, exc_cap, use_pallas, C)
+                t_dec = _time_device(
+                    lambda o=out, sb=sb, NB=NB, C=C: bfp.decode_core(
+                        o[0], o[1], o[2], o[4], o[5], K0, E0, sb,
+                        use_pallas, NB, C)
+                )
+            except Exception as e:  # candidate not lowerable here
+                if verbose:
+                    print(f"  bfp sb={sb} C={C}: failed ({type(e).__name__})")
+                continue
+            results[(sb, C)] = t_enc + t_dec
             if verbose:
-                print(f"  bfp sb={sb}: failed ({type(e).__name__})")
-            continue
-        results[sb] = t_enc + t_dec
-        if verbose:
-            print(f"  bfp sb={sb}: enc {t_enc*1e3:.1f} ms dec {t_dec*1e3:.1f} ms")
+                print(f"  bfp sb={sb} C={C}: enc {t_enc*1e3:.1f} ms "
+                      f"dec {t_dec*1e3:.1f} ms")
     if not results:
         return {}
-    best_sb = min(results, key=results.get)
+    best_sb, best_chunk = min(results, key=results.get)
     # K/E refinement by expected words/block from the real histogram
     # (choose_K's cost model), scanning K0-1..K0+1 and E in {6, 8, 10}
     best_ke, best_cost = (K0, E0), float("inf")
@@ -217,12 +226,15 @@ def tune_bfp(n: int, verbose: bool = True) -> dict:
                 best_ke, best_cost = (K, E), cost
     entry = {
         "bfp_sb_blocks": best_sb,
+        "bfp_chunk": int(best_chunk),
         "bfp_base_planes": int(best_ke[0]),
         "bfp_resid_planes": int(best_ke[1]),
-        "bfp_timings_ms": {str(k): round(v * 1e3, 2) for k, v in results.items()},
+        "bfp_timings_ms": {
+            f"{k[0]}/{k[1]}": round(v * 1e3, 2) for k, v in results.items()
+        },
     }
     if verbose:
-        print(f"  bfp -> sb={best_sb} K={best_ke[0]} E={best_ke[1]}")
+        print(f"  bfp -> sb={best_sb} C={best_chunk} K={best_ke[0]} E={best_ke[1]}")
     return entry
 
 

@@ -1,0 +1,106 @@
+// Golden-blob generator: produces COMPLETE compressed streams with the
+// reference MGARD-X library's SERIAL backend (/root/reference, Apache-2.0)
+// for the cross-decoding tests (mgard_tpu.formats.ref_stream).
+//
+// Reference entry point: mgard_x::general_compress<D, T, SERIAL>
+// (include/mgard-x/CompressionHighLevel/CompressionHighLevel.hpp:291-309)
+// with Config.lossless = LZ4 (the portable block-LZ4 on the raw quantized
+// stream — include/mgard-x/Lossless/LZ4/LZ4.hpp:14-30) so the payload is
+// decodable without the reference's GPU-Huffman machinery.
+//
+// Build + run: tests/golden/generate_ref_blobs.sh
+
+#include <cmath>
+#include <cstdio>
+#include <string>
+#include <vector>
+
+#include "mgard-x/CompressionHighLevel/CompressionHighLevel.hpp"
+#include "mgard-x/CompressionLowLevel/Compressor.hpp"
+#include "mgard-x/CompressionLowLevel/CompressorCache.hpp"
+#include "mgard-x/CompressionLowLevel/NormCalculator.hpp"
+#include "mgard-x/DataRefactoring/DataRefactor.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CalcCoefficients3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CalcCoefficientsND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CoefficientsRestore3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CoefficientsRestoreND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Correction/CalcCorrection3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Correction/CalcCorrectionND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/AddND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/CopyND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/SubtractND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/DataRefactoring.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/DataRefactoring.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Coefficient/CalcCoefficients.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Coefficient/CoefficientsRestore.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Correction/CalcCorrection.hpp"
+#include "mgard-x/Quantization/LinearQuantization.hpp"
+
+using namespace mgard_x;
+
+namespace {
+
+// same deterministic field as gen_golden.cpp / gen_golden_x.cpp
+template <typename T>
+std::vector<T> make_field(const std::vector<std::size_t> &shape) {
+  std::size_t n = 1;
+  for (auto s : shape) n *= s;
+  std::vector<T> v(n);
+  std::vector<double> inv(shape.size());
+  for (std::size_t d = 0; d < shape.size(); ++d)
+    inv[d] = 1.0 / static_cast<double>(shape[d] - 1 ? shape[d] - 1 : 1);
+  for (std::size_t i = 0; i < n; ++i) {
+    std::size_t rem = i;
+    double acc = 0.0, prod = 1.0;
+    for (std::size_t d = shape.size(); d-- > 0;) {
+      const double x = static_cast<double>(rem % shape[d]) * inv[d];
+      rem /= shape[d];
+      acc += std::sin(2.0 * M_PI * (d + 1) * x);
+      prod *= std::cos(M_PI * x + 0.3 * (d + 1));
+    }
+    v[i] = static_cast<T>(acc + 0.5 * prod);
+  }
+  return v;
+}
+
+void dump(const std::string &path, const void *p, std::size_t bytes) {
+  std::FILE *f = std::fopen(path.c_str(), "wb");
+  std::fwrite(p, 1, bytes, f);
+  std::fclose(f);
+}
+
+template <typename T>
+void gen(const std::vector<SIZE> &shape, double tol, double s,
+         enum error_bound_type ebtype, lossless_type ltype,
+         const std::string &tag) {
+  std::vector<std::size_t> shv(shape.begin(), shape.end());
+  auto v = make_field<T>(shv);
+  dump("ref_input_" + tag + ".bin", v.data(), v.size() * sizeof(T));
+
+  Config cfg;
+  cfg.lossless = ltype;
+  void *compressed = nullptr;
+  size_t compressed_size = 0;
+  auto st = general_compress<3, T, SERIAL, Compressor<3, T, SERIAL>>(
+      std::vector<SIZE>(shape), (T)tol, (T)s, ebtype, v.data(), compressed,
+      compressed_size, cfg, true, std::vector<T *>(), false);
+  if (st != compress_status_type::Success) {
+    std::printf("FAILED %s status %d\n", tag.c_str(), (int)st);
+    return;
+  }
+  dump("ref_blob_" + tag + ".mgard", compressed, compressed_size);
+  std::printf("wrote %s: %zu bytes (input %zu)\n", tag.c_str(),
+              compressed_size, v.size() * sizeof(T));
+}
+
+} // namespace
+
+int main() {
+  gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
+             error_bound_type::ABS, lossless_type::LZ4, "3d65_f32_lz4_abs");
+  gen<double>({60, 65, 70}, 1e-4, std::numeric_limits<double>::infinity(),
+              error_bound_type::ABS, lossless_type::LZ4, "3d606570_f64_lz4_abs");
+  gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
+             error_bound_type::REL, lossless_type::LZ4, "3d65_f32_lz4_rel");
+  return 0;
+}

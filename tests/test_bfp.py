@@ -72,13 +72,13 @@ def test_format_matches_numpy_reference():
     sym = (rng.standard_normal(4096) * 30).astype(np.int32)
     sym[17] = 2**29  # force one exception block
     blob = bfp.encode(sym)
-    magic, n, resid_rows, K, E, sb, cnt = struct.unpack_from(bfp._HDR, blob, 0)
+    magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(bfp._HDR, blob, 0)
     assert magic == bfp._MAGIC and n == sym.size and cnt >= 1
-    crl, base, resid, exc_ids, exc_blocks = bfp.np_encode(sym, K, E, sb)
+    crl, base, resid, exc_ids, exc_blocks = bfp.np_encode(sym, K, E, sb, C)
     total = resid_rows * 128
     p = struct.calcsize(bfp._HDR)
     NB = bfp._pad_to(n, sb) // 32
-    NC = NB // bfp.CHUNK
+    NC = NB // C
     nnib = (NC + 1) // 2
     nib_dev = np.frombuffer(blob, np.uint8, nnib, p)
     rl_pad = np.concatenate([crl, np.zeros(nnib * 2 - NC, np.uint8)])
@@ -94,7 +94,7 @@ def test_format_matches_numpy_reference():
     ids_dev = np.frombuffer(blob, "<u4", cnt, p)
     np.testing.assert_array_equal(ids_dev, exc_ids)
     p += 4 * cnt
-    blk_dev = np.frombuffer(blob, "<i4", cnt * 128, p).reshape(cnt, 128)
+    blk_dev = np.frombuffer(blob, "<i4", cnt * C * 32, p).reshape(cnt, C * 32)
     np.testing.assert_array_equal(blk_dev, exc_blocks)
 
 

@@ -1,0 +1,91 @@
+"""Cross-decoding of reference MGARD-X streams (r3 VERDICT #6).
+
+tests/golden/ref_blob_*.mgard are COMPLETE compressed files written by the
+reference library itself (MGARD-X SERIAL general_compress, lossless=LZ4)
+via tests/golden/generate_ref_blobs.sh. They must round-trip through
+mgard_tpu.decompress within the certified bound — the reference's own
+decompress contract (reference: include/compress_x.hpp:109-154).
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+import mgard_tpu
+from mgard_tpu.formats import ref_stream
+from mgard_tpu.formats.metadata import FormatError
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+
+CASES = [
+    ("3d65_f32_lz4_abs", (65, 65, 65), np.float32, 1e-3, "abs"),
+    ("3d606570_f64_lz4_abs", (60, 65, 70), np.float64, 1e-4, "abs"),
+    ("3d65_f32_lz4_rel", (65, 65, 65), np.float32, 1e-3, "rel"),
+]
+
+
+def _load(tag, shape, dt):
+    blob = open(os.path.join(GOLD, f"ref_blob_{tag}.mgard"), "rb").read()
+    v = np.fromfile(os.path.join(GOLD, f"ref_input_{tag}.bin"), dt).reshape(shape)
+    return blob, v
+
+
+@pytest.mark.parametrize("tag,shape,dt,tol,mode", CASES)
+def test_reference_blob_decompresses_within_bound(tag, shape, dt, tol, mode):
+    blob, v = _load(tag, shape, dt)
+    out, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    assert out.shape == shape and out.dtype == dt
+    err = float(np.max(np.abs(out.astype(np.float64) - v)))
+    bound = tol * (float(np.abs(v).max()) if mode == "rel" else 1.0)
+    assert err <= bound, f"{err} > {bound}"
+
+
+def test_reference_header_parse():
+    blob, _ = _load(*CASES[0][:3])
+    h = ref_stream.parse_header(blob)
+    assert h.shape == (65, 65, 65)
+    assert h.dtype == np.float32
+    assert h.compressor == ref_stream.ENC_X_LZ4
+    assert np.isinf(h.s)
+    assert abs(h.tol - 1e-3) < 1e-9
+    assert ref_stream.sniff(blob[:8])
+    assert not ref_stream.sniff(b"MGARDTPU")
+
+
+def test_reference_header_crc_detects_corruption():
+    blob, _ = _load(*CASES[0][:3])
+    bad = bytearray(blob)
+    bad[20] ^= 0xFF  # flip a protobuf byte
+    with pytest.raises(FormatError):
+        ref_stream.parse_header(bytes(bad))
+    out, st = mgard_tpu.decompress(bytes(bad))
+    assert out is None and st == mgard_tpu.compress_status_type.Failure
+
+
+def test_reference_unsupported_backend_clean_error():
+    """A reference stream with a GPU-Huffman-class backend must fail with a
+    clear message, not garbage output."""
+    blob, _ = _load(*CASES[0][:3])
+    h = ref_stream.parse_header(blob)
+    # re-parse and surgically change Encoding.compressor 8 (X_LZ4) -> 3
+    # (X_HUFFMAN) inside the protobuf body, then re-CRC the header
+    import zlib
+
+    p = 5
+    (hsize,) = struct.unpack_from("<Q", blob, p)
+    body = bytearray(blob[17 : 17 + hsize])
+    # Encoding submessage: field 11, wire type 2; compressor: field 2 varint
+    idx = bytes(body).find(bytes([11 << 3 | 2]))
+    assert idx >= 0
+    ln = body[idx + 1]
+    sub = body[idx + 2 : idx + 2 + ln]
+    cidx = bytes(sub).find(bytes([2 << 3 | 0, ref_stream.ENC_X_LZ4]))
+    assert cidx >= 0
+    body[idx + 2 + cidx + 1] = ref_stream.ENC_X_HUFFMAN
+    crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
+    forged = blob[:13] + struct.pack("<I", crc) + bytes(body) + blob[17 + hsize:]
+    with pytest.raises(FormatError, match="X_HUFFMAN"):
+        ref_stream.decompress_reference(forged)
