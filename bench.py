@@ -75,46 +75,72 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     cfg = mgard_tpu.Config()
     rem_hier = get_hierarchy(remainder_shape(padded, nl), np.float32, None, cfg)
     q = H._hybrid_quantizer(tol, hybrid_l_total(padded, nl, rem_hier))
-    fused = H._hybrid_fused_ok(padded, np.float32)
     v = make_field(n)
     nbytes = n * n * n * 4
     N = n * n * n
-    Ntot = N + int(np.prod(rem_hier.shape))
-    sb = bfp.SB_BLOCKS if on_tpu else bfp.SB_BLOCKS_SMALL
-    npad = bfp._pad_to(Ntot, sb)
-    NB = npad // 32
-    NC = NB // bfp.CHUNK
-    K, E = 6, bfp.E_DEFAULT
-    exc_cap = 8192
+    n_rem = int(np.prod(rem_hier.shape))
+    C = bfp.CHUNK
+    E = bfp.E_DEFAULT
+    sb = bfp.SB_BLOCKS
+    assert H._hybrid_v2_ok(padded, np.float32, cfg), "v2 gate must pass at 512^3"
+    NB = N // 32
+    NC = NB // C
+    # rem stream rides the generic BFP path, padded to its own superblocks
+    rem_pad = bfp._pad_to(n_rem, sb)
+    NBr = rem_pad // 32
+    rem_exc_cap = 8192
 
     quant = jnp.asarray(q, jnp.float32)
 
-    @jax.jit
-    def compress_fn(v, quant):
-        sym = H._compress_core_hybrid(v, quant, padded, nl, rem_hier, fused,
-                                      zgroup=True)
-        if npad != Ntot:
-            sym = jnp.concatenate([sym, jnp.zeros(npad - Ntot, jnp.int32)])
-        return bfp.encode_core(sym, K, E, sb, exc_cap, on_tpu)
+    # K from the first stream's chunk-width histogram (production logic)
+    pay0, cw0, rem0 = H._compress_core_hybrid_v2(v, quant, padded, nl, rem_hier, C)
+    hist = np.bincount(np.clip(np.asarray(cw0), 0, 32), minlength=33)
+    K = bfp.choose_K(hist, E, C)
+    hr = np.asarray(bfp._width_hist(
+        jnp.concatenate([rem0, jnp.zeros(rem_pad - n_rem, jnp.int32)])))
+    Kr = bfp.choose_K(hr, E)
+    print(f"# v2 path: C={C} K={K} (rem K={Kr}) cw_max={int(np.asarray(cw0).max())}",
+          file=sys.stderr)
+    assert K + E <= 16 and int(np.asarray(cw0).max()) <= K + E
 
     @jax.jit
-    def decompress_fn(base, crl, resid2d, exc_ids, exc_blocks, quant):
-        sym = bfp.decode_core(base, crl, resid2d, exc_ids, exc_blocks,
-                              K, E, sb, on_tpu, NB)[:Ntot]
-        return H._decompress_core_hybrid(
-            sym, quant, shape, padded, nl, rem_hier, fused, zgroup=True
+    def compress_fn(v, quant):
+        pay, cw, rem_sym = H._compress_core_hybrid_v2(
+            v, quant, padded, nl, rem_hier, C
+        )
+        crl = jnp.clip(cw - K, 0, E)
+        cf = bfp.encode_core_zz(
+            pay.reshape(-1, C * 32), crl, K, E, sb, on_tpu, C
+        )
+        rs = jnp.concatenate([rem_sym, jnp.zeros(rem_pad - n_rem, jnp.int32)])
+        rem = bfp.encode_core(rs, Kr, E, sb, rem_exc_cap, on_tpu)
+        return cf + (crl,) + rem
+
+    @jax.jit
+    def decompress_fn(base, resid2d, crl, rbase, rcrl, rresid2d, rexc_ids,
+                      rexc_blocks, quant):
+        zz_rows = bfp.decode_core_zz(base, crl, resid2d, K, E, sb, on_tpu,
+                                     NB, C)
+        rem_sym = bfp.decode_core(rbase, rcrl, rresid2d, rexc_ids,
+                                  rexc_blocks, Kr, E, sb, on_tpu, NBr)[:n_rem]
+        return H._decompress_core_hybrid_v2(
+            zz_rows, rem_sym, quant, shape, padded, nl, rem_hier, C
         )
 
     # ---- compile + correctness
     t0 = time.time()
     out = compress_fn(v, quant)
-    base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
+    base, resid2d, resid_rows, crl = out[0], out[1], out[2], out[3]
+    rbase, rcrl, rresid2d, rresid_rows = out[4], out[5], out[6], out[7]
+    rexc_ids, rexc_blocks, rexc_count = out[8], out[9], out[10]
     total_i = int(resid_rows) * 128
+    rtotal_i = int(rresid_rows) * 128
     tc_compile = time.time() - t0
     print(f"# compile+first compress: {tc_compile:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    rec = decompress_fn(base, crl, resid2d, exc_ids, exc_blocks, quant)
+    rec = decompress_fn(base, resid2d, crl, rbase, rcrl, rresid2d,
+                        rexc_ids, rexc_blocks, quant)
     err = float(jax.jit(lambda a, b: jnp.max(jnp.abs(a - b)))(rec, v))
     td_compile = time.time() - t0
     print(f"# compile+first decompress: {td_compile:.1f}s", file=sys.stderr)
@@ -122,9 +148,12 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     ok = err <= tol
     import struct as _struct
 
-    comp_bytes = (total_i * 4 + K * NB * 4 + NC // 2
-                  + int(exc_count) * (4 + bfp.CHUNK * 32 * 4)
-                  + _struct.calcsize(bfp._HDR))
+    comp_bytes = (
+        total_i * 4 + K * NB * 4 + NC // 2          # cf stream
+        + rtotal_i * 4 + Kr * NBr * 4 + (NBr // C) // 2  # rem stream
+        + int(rexc_count) * (4 + C * 32 * 4)
+        + 2 * _struct.calcsize(bfp._HDR)
+    )
     ratio = nbytes / comp_bytes
     print(f"# n={n} err={err:.3e} bound_ok={ok} ratio={ratio:.2f}",
           file=sys.stderr)
@@ -152,7 +181,8 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
         return max(best - floor, 1e-6)
 
     t_c = timed(compress_fn, v, quant)
-    t_d = timed(decompress_fn, base, crl, resid2d, exc_ids, exc_blocks, quant)
+    t_d = timed(decompress_fn, base, resid2d, crl, rbase, rcrl, rresid2d,
+                rexc_ids, rexc_blocks, quant)
     print(
         f"# compress {t_c*1e3:.1f} ms ({nbytes/t_c/1e9:.2f} GB/s), "
         f"decompress {t_d*1e3:.1f} ms ({nbytes/t_d/1e9:.2f} GB/s)",

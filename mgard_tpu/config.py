@@ -88,8 +88,9 @@ class Config:
     mdr_level_compressor: str = "zlib"
     # MDR interleaver (reference: MDR-X/Interleaver/): "direct" =
     # level-linearized nested-box slabs; "blocked" = 4^D spatial tiles
-    # within each slab (locality-aware plane packing, pure
-    # reshape/transpose)
+    # within each slab; "sfc" = Morton/Z-order within each slab (the
+    # reference SFCInterleaver's locality-preserving curve). All are pure
+    # reshape/transpose and recorded in the stream header.
     mdr_interleaver: str = "direct"
 
 

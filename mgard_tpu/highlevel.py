@@ -241,6 +241,57 @@ def _hybrid_quantizer(abs_tol: float, l_total: int) -> float:
     return 2.0 * abs_tol / (l_total + 1)
 
 
+def _hybrid_v2_ok(padded, dtype, config: Config) -> bool:
+    """Gate for the one-pass cf front-end (ops/hybrid.py v2 kernel +
+    lossless/bfp.py prepared-payload cores)."""
+    from .lossless import bfp as _bfp
+    from .ops.hybrid import _tile_shape_v2
+
+    C = int(getattr(config, "bfp_chunk", 0) or _bfp.CHUNK)
+    return (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and config.lossless == lossless_type.BFP
+        and bool(config.hybrid_level_grouping)
+        and _tile_shape_v2(padded) is not None
+        and padded[-1] % (C * 32) == 0
+        and int(np.prod(padded)) % (_bfp.SB_BLOCKS * 32) == 0
+    )
+
+
+@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "C"))
+def _compress_core_hybrid_v2(v, q_scalar, padded, nl, rem_hier, C):
+    """One-pass hybrid front-end: returns (payload u16 [grouped zigzag cf
+    symbols], cw (NC,) i32 [true chunk widths], rem_sym (n_rem,) i32)."""
+    from .ops import hybrid as Hy
+
+    pad = [(0, p - s) for s, p in zip(v.shape, padded)]
+    if any(p for _, p in pad):
+        v = jnp.pad(v, pad, mode="edge")
+    inv_q = (1.0 / q_scalar).astype(v.dtype)
+    pay, cw, rem = Hy.local_transform_fused_v2(v, inv_q, nl, C)
+    rem_dec = decompose(rem, rem_hier, orthogonal=False)
+    half = jnp.asarray(0.5, v.dtype)
+    t = rem_dec * inv_q
+    rem_sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+    return pay, cw, rem_sym.ravel()
+
+
+@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier", "C"))
+def _decompress_core_hybrid_v2(zz_rows, rem_sym, q_scalar, shape, padded, nl,
+                               rem_hier, C):
+    """Inverse: u16 grouped zigzag rows + rem symbols -> field."""
+    from .ops import hybrid as Hy
+
+    work = jnp.float32
+    q = q_scalar.astype(work)
+    rem_dec = (rem_sym.astype(work) * q).reshape(rem_hier.shape)
+    rem = recompose(rem_dec, rem_hier, orthogonal=False)
+    pay = zz_rows.reshape(padded)
+    out = Hy.local_inverse_fused_v2(pay, rem, q, nl, work)
+    return out[tuple(slice(0, s) for s in shape)]
+
+
 @partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "fused", "zgroup"))
 def _compress_core_hybrid(v, q_scalar, padded, nl, rem_hier, fused=False,
                           zgroup=False):
@@ -367,12 +418,22 @@ def _dispatch_subdomain(
             remainder_shape(padded, nl), hier.dtype, None, config
         )
         q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
+        if _hybrid_v2_ok(padded, hier.dtype, config):
+            from .lossless import bfp as _bfp
+
+            C = int(getattr(config, "bfp_chunk", 0) or _bfp.CHUNK)
+            pay, cw, rem_sym = _compress_core_hybrid_v2(
+                v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C
+            )
+            rem_state = _raw_encode_device(rem_sym, config)
+            return ("hybrid_v2",
+                    (pay, cw, rem_state, v, hier, q, padded, nl, rem_hier, C))
         sym = _compress_core_hybrid(
             v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
             fused=_hybrid_fused_ok(padded, hier.dtype),
             zgroup=bool(config.hybrid_level_grouping),
         )
-        return ("raw", _raw_encode_device(sym, config))
+        return ("hybrid_raw", _raw_encode_device(sym, config))
     if raw:
         sym = _compress_core_sym(
             v, jnp.asarray(quantizers), hier, orthogonal, s_inf, single_dim
@@ -392,24 +453,74 @@ def _raw_encode_device(sym, config: Config):
     return lt, mod.encode_device(sym, getattr(config, "bfx_sb_blocks", None))
 
 
+def _raw_section(lt_eff, dev_state, config: Config) -> bytes:
+    from .lossless.registry import _HDR as _LHDR
+
+    mod, zstd_stage = _raw_codec(lt_eff)
+    inner = mod.serialize_device(dev_state)
+    if zstd_stage:
+        from .lossless import host as _host
+
+        inner = _host.zstd_compress(inner, config.zstd_compress_level)
+    return struct.pack(_LHDR, int(lt_eff), len(inner)) + inner
+
+
+def _serialize_hybrid_v2(st, config: Config) -> bytes:
+    """Serialize the one-pass hybrid front-end: flag byte 1, cf stream as a
+    prepared BFP4 blob, rem stream as a standard lossless section. Falls
+    back to the legacy single-stream layout (flag 0) when the chunk widths
+    exceed the u16 budget (K+E > 16 or an over-wide chunk)."""
+    from .lossless import bfp as _bfp
+
+    pay, cw, rem_state, v, hier, q, padded, nl, rem_hier, C = st
+    E = int(getattr(config, "bfp_resid_planes", 0) or _bfp.E_DEFAULT)
+    n_cf = int(np.prod(padded))
+    key = ("v2", n_cf, E, C)
+    cw_h = None
+    if key in _bfp._K_CACHE:
+        K, cw_max_known = _bfp._K_CACHE[key]
+    else:
+        cw_h = np.asarray(cw)
+        hist = np.bincount(np.clip(cw_h, 0, 32), minlength=33)
+        K = _bfp.choose_K(hist, E, C)
+        _bfp._K_CACHE[key] = (K, None)
+    # the kernel's cw are TRUE u32 widths: any chunk wider than K+E (or 16)
+    # would have been truncated by the u16 payload -> legacy path
+    cw_max = int(jnp.max(cw)) if cw_h is None else int(cw_h.max())
+    if K + E > 16 or cw_max > K + E:
+        sym = _compress_core_hybrid(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
+            fused=_hybrid_fused_ok(padded, hier.dtype),
+            zgroup=bool(config.hybrid_level_grouping),
+        )
+        lt_eff, dev_state = _raw_encode_device(sym, config)
+        return (_empty_outliers() + struct.pack("<B", 0)
+                + _raw_section(lt_eff, dev_state, config))
+    crl = jnp.clip(cw - K, 0, E)
+    # fixed superblock for v2 (the _hybrid_v2_ok gate guarantees stream
+    # length divisibility for exactly this size)
+    sb = _bfp.SB_BLOCKS
+    out = _bfp.encode_core_zz(
+        pay.reshape(-1, C * 32), crl, K, E, sb, _bfp._use_pallas(), C
+    )
+    cf_blob = _bfp.serialize_prepared(n_cf, K, E, sb, C, crl, *out)
+    rem_sec = _raw_section(rem_state[0], rem_state[1], config)
+    return (_empty_outliers() + struct.pack("<B", 1)
+            + struct.pack("<Q", len(cf_blob)) + cf_blob + rem_sec)
+
+
 def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
                          orthogonal: bool, prep: bool) -> bytes:
     """Host phase: sync the dispatched state and build the payload bytes."""
-    if state[0] == "raw":
-        from .lossless.registry import _HDR as _LHDR
-
+    if state[0] == "hybrid_v2":
+        return _serialize_hybrid_v2(state[1], config)
+    if state[0] == "hybrid_raw":
         lt_eff, dev_state = state[1]
-        mod, zstd_stage = _raw_codec(lt_eff)
-        inner = mod.serialize_device(dev_state)
-        if zstd_stage:
-            from .lossless import host as _host
-
-            inner = _host.zstd_compress(inner, config.zstd_compress_level)
-        return (
-            _empty_outliers()
-            + struct.pack(_LHDR, int(lt_eff), len(inner))
-            + inner
-        )
+        return (_empty_outliers() + struct.pack("<B", 0)
+                + _raw_section(lt_eff, dev_state, config))
+    if state[0] == "raw":
+        lt_eff, dev_state = state[1]
+        return _empty_outliers() + _raw_section(lt_eff, dev_state, config)
     _, v, hier, quantizers, single_dim = state
     return _compress_subdomain_generic(
         v, hier, config, quantizers, s, orthogonal, prep, single_dim
@@ -805,13 +916,61 @@ def decompress(
             pad_val = np.zeros(mb, np.int64)
             pad_val[:m] = out_val
 
-            qflat, used = lossless_decompress(blob, pos)
-            expected = hier.total_num_elems
-            if (
+            hybrid_section = (
                 meta.decomposition == decomposition_type.Hybrid
                 and s_inf
                 and _raw_symbol_backend(meta.ltype)
-            ):
+            )
+            hybrid_v2 = False
+            if hybrid_section:
+                (flag,) = struct.unpack_from("<B", blob, pos)
+                pos += 1
+                hybrid_v2 = flag == 1
+            if hybrid_v2:
+                from .lossless import bfp as _bfp
+                from .ops.hybrid import (
+                    hybrid_l_total,
+                    pad_to8,
+                    remainder_shape,
+                )
+
+                _nl = max(1, min(3, int(meta.nlocal) or 1))
+                _padded = pad_to8(hier.shape)
+                (cf_len,) = struct.unpack_from("<Q", blob, pos)
+                pos += 8
+                base3d, crl, rbuf, (n_cf, K, E, sb, C), _used = (
+                    _bfp.deserialize_prepared(blob, pos)
+                )
+                pos += cf_len
+                if n_cf != int(np.prod(_padded)):
+                    raise FormatError(
+                        f"subdomain {i}: hybrid-v2 cf stream has {n_cf} "
+                        f"symbols, expected {int(np.prod(_padded))}"
+                    )
+                rem_sym, _used2 = lossless_decompress(blob, pos)
+                _rem_shape = remainder_shape(_padded, _nl)
+                if int(rem_sym.shape[0]) != int(np.prod(_rem_shape)):
+                    raise FormatError(
+                        f"subdomain {i}: hybrid-v2 rem stream has "
+                        f"{int(rem_sym.shape[0])} symbols, expected "
+                        f"{int(np.prod(_rem_shape))}"
+                    )
+                rem_hier = get_hierarchy(_rem_shape, dtype, None, cfg)
+                qh = _hybrid_quantizer(
+                    local_tol, hybrid_l_total(_padded, _nl, rem_hier)
+                )
+                zz_rows = _bfp.decode_core_zz(
+                    base3d, crl, rbuf, K, E, sb, _bfp._use_pallas(),
+                    n_cf // 32, C,
+                )
+                rec = _decompress_core_hybrid_v2(
+                    zz_rows, rem_sym, jnp.asarray(qh, dtype), hier.shape,
+                    _padded, _nl, rem_hier, C,
+                )
+                return rec, sls
+            qflat, used = lossless_decompress(blob, pos)
+            expected = hier.total_num_elems
+            if hybrid_section:
                 from .ops.hybrid import pad_to8, remainder_shape
 
                 _nl = max(1, min(3, int(meta.nlocal) or 1))

@@ -401,6 +401,121 @@ def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
 
 
 # ----------------------------------------------------------------------
+# Prepared-payload cores (hybrid v2 front-end): the transform kernel
+# already emitted the u16 zigzag payload and the true u32 chunk widths, so
+# encode skips the zigzag/width/exception passes entirely. The caller
+# guarantees no chunk exceeds K+E planes (it falls back to the generic
+# path otherwise), so the serialized blob is plain BFP4 with exc_count=0.
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
+                   use_pallas: bool, C: int):
+    """payload_rows: (NC, C*32) u16 zigzag, already grouped, exception-free.
+    crl: (NC,) i32 residual lengths. Returns (base, resid2d, resid_rows)."""
+    NC = payload_rows.shape[0]
+    NB = NC * C
+    NSB = NB // sb
+    sbc = sb // C
+    PR = sb // LANES
+    rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
+    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * C, PR)
+    rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
+    perm = (
+        jnp.zeros((NC,), jnp.int32)
+        .at[rank_g]
+        .set(jnp.arange(NC, dtype=jnp.int32), unique_indices=True)
+    )
+    zz_sorted = jnp.take(payload_rows, perm, axis=0).reshape(NB, BS)
+    alloc_rows = (NSB + 1) * E * PR
+    if use_pallas:
+        base, resid2d = _encode_pallas(zz_sorted, woff, sb_off, K, E, sb,
+                                       alloc_rows)
+    else:
+        base, resid2d = _encode_xla(zz_sorted, woff, sb_off, K, E, sb,
+                                    alloc_rows)
+    return base, resid2d, resid_rows
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+def decode_core_zz(base3d, crl, resid2d, K: int, E: int, sb: int,
+                   use_pallas: bool, NB: int, C: int):
+    """Inverse of encode_core_zz -> (NC, C*32) u16 zigzag rows in natural
+    order (the hybrid-v2 inverse kernel consumes them directly)."""
+    NC = NB // C
+    NSB = NB // sb
+    sbc = sb // C
+    PR = sb // LANES
+    rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
+    cnt = cnt_c * C
+    _, woff, sb_off, _ = _plan_offsets(cnt, PR)
+    if use_pallas:
+        zz_sorted = _decode_pallas(base3d, resid2d, woff, sb_off, cnt,
+                                   K, E, sb, jnp.uint16)
+    else:
+        zz_sorted = _decode_xla(base3d, resid2d, woff, sb_off, cnt,
+                                K, E, sb, jnp.uint16)
+    rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
+    return jnp.take(zz_sorted.reshape(NC, C * BS), rank_g, axis=0)
+
+
+def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
+                       base, resid2d, resid_rows) -> bytes:
+    """Serialize an encode_core_zz result as a standard BFP4 blob
+    (exception-free)."""
+    from .huffman import device_get_prefix
+
+    rows_i = int(resid_rows)
+    NB = _pad_to(n, sb) // BS
+    NC = NB // C
+    rl_h = np.asarray(crl).astype(np.uint8)
+    if NC % 2:
+        rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
+    nib = rl_h[0::2] | (rl_h[1::2] << 4)
+    base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
+    resid_h = device_get_prefix(
+        resid2d.reshape(-1), rows_i * LANES
+    ).astype("<u4")
+    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, C, 0)
+    return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
+            + resid_h.tobytes())
+
+
+def deserialize_prepared(data: bytes, offset: int = 0):
+    """Parse a BFP4 blob into device arrays for decode_core_zz. Returns
+    (base3d, crl, resid2d, (n, K, E, sb, C), consumed). Requires an
+    exception-free blob (the hybrid-v2 writer's invariant)."""
+    magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(_HDR, data, offset)
+    if magic != _MAGIC:
+        raise ValueError("bad BFP blob")
+    if cnt:
+        raise ValueError("prepared-payload decode requires an exception-free blob")
+    p = offset + struct.calcsize(_HDR)
+    npad = _pad_to(n, sb)
+    NB = npad // BS
+    NSB = NB // sb
+    PR = sb // LANES
+    CAP = E * PR
+    NC = NB // C
+    nnib = (NC + 1) // 2
+    nib = np.frombuffer(data, np.uint8, nnib, p)
+    p += nnib
+    rl = np.empty(nnib * 2, np.int32)
+    rl[0::2] = nib & 0xF
+    rl[1::2] = nib >> 4
+    rl = rl[:NC]
+    base = np.zeros((NSB, max(K, 1), sb), np.uint32)
+    if K:
+        base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(NSB, K, sb)
+        p += 4 * K * NB
+    resid = np.frombuffer(data, "<u4", resid_rows * LANES, p)
+    p += 4 * resid_rows * LANES
+    rbuf = np.zeros((resid_rows + CAP, LANES), np.uint32)
+    rbuf.reshape(-1)[: resid_rows * LANES] = resid
+    return (jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
+            (n, K, E, sb, C), p - offset)
+
+
+# ----------------------------------------------------------------------
 # Parameter selection (sticky per stream size; autotuner-persistable)
 # ----------------------------------------------------------------------
 _K_CACHE: dict = {}

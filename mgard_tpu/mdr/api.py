@@ -102,7 +102,8 @@ class RefactoredMetadata:
     # recompute the identical segment order (ADVICE r2: an s passed at write
     # time but not at read time silently corrupted plane offsets)
     reorg_s: float = float("inf")
-    # interleaver mode (reference: MDR-X/Interleaver/: Direct=0, Blocked=1)
+    # interleaver mode (reference: MDR-X/Interleaver/: Direct=0,
+    # Blocked=1, SFC/Morton=2)
     interleaver: int = 0
 
     @property
@@ -266,7 +267,7 @@ def MDRefactor(
     negabinary = config.mdr_encoding == bitplane_encoding_type.NegaBinary
     orthogonal = bool(config.mdr_orthogonal_basis)
 
-    interleaver = {"direct": 0, "blocked": 1}[
+    interleaver = {"direct": 0, "blocked": 1, "sfc": 2}[
         getattr(config, "mdr_interleaver", "direct")
     ]
     results = _refactor_device(hier, B, negabinary, orthogonal, interleaver)(

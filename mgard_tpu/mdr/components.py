@@ -45,8 +45,14 @@ def level_regions(hier: Hierarchy, l: int) -> List[Tuple[slice, ...]]:
 # nearby coefficients share bitplane words — implemented as pure
 # reshape/transpose (scatter-free); a region whose dims don't all divide B
 # falls back to direct order (deterministic rule shared by both sides).
+# SFC emits each region in Morton (Z-order) — the space-filling curve the
+# reference's SFCInterleaver targets (its z_order_data_collection /
+# skip-one collection, SFCInterleaver.hpp:70-80) — realized scatter-free
+# as a bit-axis transpose; dims must all be the same power of two, else
+# the region falls back to blocked/direct by the shared deterministic rule.
 INTERLEAVE_DIRECT = 0
 INTERLEAVE_BLOCKED = 1
+INTERLEAVE_SFC = 2
 BLOCK_B = 4
 
 
@@ -54,9 +60,49 @@ def _blocked_ok(shape, B: int = BLOCK_B) -> bool:
     return len(shape) >= 2 and all(s % B == 0 and s >= B for s in shape)
 
 
+def _sfc_ok(shape) -> bool:
+    s0 = shape[0]
+    return (
+        len(shape) >= 2
+        and s0 >= 2
+        and (s0 & (s0 - 1)) == 0
+        and all(s == s0 for s in shape)
+    )
+
+
+def _morton_fwd(box):
+    """Morton-order ravel of a (2^k,)*D box: split every dim into k bit
+    axes and transpose to bit-major (MSB first), interleaving dims."""
+    shape = tuple(int(s) for s in box.shape)
+    D = len(shape)
+    k = shape[0].bit_length() - 1
+    x = box.reshape((2,) * (k * D))
+    # input axis j*k + b = bit b (MSB first) of dim j; Morton output order
+    # interleaves dims per bit: (MSB of every dim, next bit of every dim, ...)
+    perm = tuple(j * k + b for b in range(k) for j in range(D))
+    return x.transpose(perm).ravel()
+
+
+def _morton_inv(flat, shape):
+    shape = tuple(int(s) for s in shape)
+    D = len(shape)
+    k = shape[0].bit_length() - 1
+    x = flat.reshape((2,) * (k * D))
+    # inverse permutation of _morton_fwd
+    perm = [0] * (k * D)
+    for b in range(k):
+        for j in range(D):
+            perm[j * k + b] = b * D + j
+    return x.transpose(perm).reshape(shape)
+
+
 def region_interleave(box, mode: int):
     """Flatten one region box in the selected interleave order."""
     shape = tuple(int(s) for s in box.shape)
+    if mode == INTERLEAVE_SFC:
+        if _sfc_ok(shape):
+            return _morton_fwd(box)
+        mode = INTERLEAVE_BLOCKED  # deterministic fallback chain
     if mode == INTERLEAVE_BLOCKED and _blocked_ok(shape):
         D = len(shape)
         B = BLOCK_B
@@ -72,6 +118,10 @@ def region_interleave(box, mode: int):
 def region_deinterleave(flat, shape, mode: int):
     """Inverse of region_interleave -> array of `shape`."""
     shape = tuple(int(s) for s in shape)
+    if mode == INTERLEAVE_SFC:
+        if _sfc_ok(shape):
+            return _morton_inv(flat, shape)
+        mode = INTERLEAVE_BLOCKED
     if mode == INTERLEAVE_BLOCKED and _blocked_ok(shape):
         D = len(shape)
         B = BLOCK_B

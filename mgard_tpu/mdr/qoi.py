@@ -35,6 +35,46 @@ class VTotQoI:
             acc += np.asarray(v, np.float64) ** 2
         return np.sqrt(acc)
 
+    def device_bound(self, variables: Sequence, per_var_errors: Sequence[float]) -> float:
+        """Data-dependent pointwise QoI error bound evaluated in-graph on
+        the ACTUAL reconstructed fields — the role of the reference's
+        QoIKernel (QoIKernel.hpp:22-147: compute_bound_x_square per
+        variable, summed, then compute_bound_square_root_x), reduced to
+        its max on device. Tighter than the global Lipschitz bound() and
+        independent of it, so a corrupted/inflated error-table plan is
+        still certified (or rejected) against real data."""
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def _bound(vs, ebs):
+            s2 = jnp.zeros(vs[0].shape, jnp.float64)
+            e2 = jnp.zeros(vs[0].shape, jnp.float64)
+            for v, eb in zip(vs, ebs):
+                av = jnp.abs(v.astype(jnp.float64))
+                s2 = s2 + av * av
+                e2 = e2 + 2.0 * av * eb + eb * eb
+            # compute_bound_square_root_x (QoIKernel.hpp:39-48)
+            b = jnp.where(
+                s2 == 0.0,
+                jnp.sqrt(e2),
+                jnp.where(
+                    s2 > e2,
+                    e2 / (jnp.sqrt(jnp.maximum(s2 - e2, 0.0)) + jnp.sqrt(s2)),
+                    e2 / jnp.sqrt(jnp.maximum(s2, 1e-300)),
+                ),
+            )
+            return jnp.max(b)
+
+        import jax.numpy as jnp
+
+        return float(
+            _bound(
+                tuple(jnp.asarray(v) for v in variables),
+                tuple(float(e) for e in per_var_errors),
+            )
+        )
+
 
 def plan_joint_retrieval(
     metas: Sequence[RefactoredMetadata], qoi_tol: float, qoi=None, s: float = math.inf
@@ -91,12 +131,21 @@ def MDReconstructQoI(
         recs = [
             MDReconstruct(m, d, c) for m, d, c in zip(metas, datas, counts)
         ]
+        vars_ = [r.data for r in recs]
         per_var = [estimate_error(m, c, s) for m, c in zip(metas, counts)]
+        # the acceptance test runs ON DEVICE against the actual
+        # reconstructed fields (reference: QoIKernel inside
+        # ReconstructPipelineQoI's reconstruct -> check -> escalate loop),
+        # not just the host error-table product — a too-loose table plan
+        # escalates, a tight-enough reconstruction is certified directly.
+        # Both are valid upper bounds (the kernel bound is data-dependent,
+        # the Lipschitz bound is global; neither dominates pointwise), so
+        # certify with their min.
         bound = qoi.bound(per_var)
+        if hasattr(qoi, "device_bound"):
+            bound = min(bound, qoi.device_bound(vars_, per_var))
         if bound <= qoi_tol:
-            vars_ = [r.data for r in recs]
             return vars_, qoi.eval(vars_), bound, counts
         tol_work *= 0.5  # escalate
         counts = plan_joint_retrieval(metas, tol_work, qoi, s)
-    vars_ = [r.data for r in recs]
     return vars_, qoi.eval(vars_), bound, counts

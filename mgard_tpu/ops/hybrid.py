@@ -412,6 +412,236 @@ def local_inverse_fused(sym, rem, q, nl: int, dtype):
     )(q.reshape(1, 1), sym, rem)[0]
 
 
+# ----------------------------------------------------------------------
+# Fused kernel v2: the whole cf-side compress front-end in ONE pass —
+# local transform + corner split + zclass grouping (a 0/1 permutation
+# matmul on the MXU; exact at HIGHEST precision) + quantize + zigzag +
+# per-chunk width, emitting the u16 BFP payload directly. Kills the
+# separate zigzag/width pass and the grouping relayout of the r3 pipeline
+# (reference precedent: the fused LevelwiseLinearQuantizerND kernel,
+# LinearQuantization.hpp:21-146).
+# ----------------------------------------------------------------------
+def _group_perm_matrix(Z: int):
+    """(Z, Z) f32 0/1 matrix applying zclass_group on the minor axis:
+    grouped[c*g + j] = natural[j*8 + c] (g = Z // 8)."""
+    g = Z // 8
+    P = np.zeros((Z, Z), np.float32)
+    for j in range(Z):
+        jj, c = divmod(j, 8)
+        P[j, c * g + jj] = 1.0
+    return P
+
+
+def _fwd_kernel_v2_body(nl, C, H, Z):
+    CL = C * 32  # lanes per chunk
+
+    def kernel(q_ref, P_ref, v_ref, pay_ref, rem_ref, *cw_refs):
+        import jax
+        import jax.numpy as jnp
+
+        v = v_ref[...]
+        D = v.ndim
+        dec = local_decompose(v, nl)
+        rem_ref[...] = extract_remainder(dec, nl, axes=range(D - 1))
+        cf = jnp.where(
+            corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec
+        )
+        lead = 1
+        for s in cf.shape[:-1]:
+            lead *= s
+        flat = cf.reshape(lead, Z)
+        grouped = jax.lax.dot_general(
+            flat, P_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        inv_q = q_ref[0, 0]
+        t = grouped * inv_q
+        half = jnp.asarray(0.5, t.dtype)
+        sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+        # zigzag kept in i32 (Mosaic has no unsigned reductions); the bit
+        # pattern is identical to the u32 zigzag
+        zz = (sym << 1) ^ (sym >> 31)
+        # widths on the tile-shaped view (minor dim unchanged by the
+        # reshape; a (lead, 1) -> (8, m) reshape would change the lane dim,
+        # which Mosaic cannot lower)
+        zz3 = zz.reshape(pay_ref.shape)
+        for h in range(H):
+            blkv = zz3[..., h * CL : (h + 1) * CL]
+            mx = jnp.max(blkv, axis=-1)
+            mn = jnp.min(blkv, axis=-1)
+            w = 32 - jax.lax.clz(mx)
+            # a zigzag value with bit 31 set reads negative in i32: its
+            # true width is 32 (over the u16 budget -> caller falls back)
+            cw_refs[h][...] = jnp.where(
+                mn < 0, jnp.int32(32), jnp.where(mx == 0, jnp.int32(0), w)
+            ).astype(jnp.int32)
+        pay_ref[...] = (zz3 & jnp.int32(0xFFFF)).astype(jnp.uint16)
+
+    return kernel
+
+
+def _tile_shape_v2(shape, vmem_budget_elems=1 << 19):
+    """Tile for the v2 kernel (holds ~5 tile-sized intermediates plus the
+    (Z, Z) permutation matrix in VMEM — the pallas_call raises the Mosaic
+    VMEM limit accordingly). The middle extent must reach 128 (or the full
+    axis) so the per-chunk width outputs satisfy the Pallas block rule
+    (last dim divisible by 128 or equal to the array dim)."""
+    D = len(shape)
+    if D != 3 or any(s % 8 for s in shape):
+        return None
+    Z = shape[-1]
+    if Z % 128 or Z > 1024:
+        return None
+    t = [8, 8, Z]
+    if int(np.prod(t)) > vmem_budget_elems:
+        return None
+    d = 1
+    size = shape[d]
+    best = 8
+    cand = 16
+    while cand <= size:
+        if size % cand == 0 and 8 * cand * Z <= vmem_budget_elems:
+            best = cand
+        cand *= 2
+    t[d] = best
+    if t[d] % 128 and t[d] != size:
+        return None
+    for s, ts in zip(shape, t):
+        if s % ts:
+            return None
+    return tuple(t)
+
+
+def local_transform_fused_v2(v, inv_q, nl: int, C: int):
+    """One-pass cf front-end. Returns (payload u16 shape(v) [zclass-grouped
+    zigzag symbols], cw (NC,) i32 [true u32 chunk widths — width > 16 means
+    the u16 payload truncated that chunk: caller must fall back], rem).
+    None when the shape doesn't fit the scheme."""
+    shape = v.shape
+    tile = _tile_shape_v2(shape)
+    if tile is None or not _HAVE_PALLAS:
+        return None
+    Z = shape[-1]
+    CL = C * 32
+    if Z % CL:
+        return None
+    H = Z // CL
+    grid = tuple(s // t for s, t in zip(shape, tile))
+    k = len(_rem_cols(nl))
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
+    rem_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+    cw_tile = (tile[0], tile[1])
+    cw_shape = (shape[0], shape[1])
+
+    import jax.numpy as jnp
+
+    P = _group_perm_matrix(Z)
+    outs = pl.pallas_call(
+        _fwd_kernel_v2_body(nl, C, H, Z),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Z, Z), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ] + [
+                pl.BlockSpec(cw_tile, lambda *a: a[:2],
+                             memory_space=pltpu.VMEM)
+                for _ in range(H)
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(shape, jnp.uint16),
+            jax.ShapeDtypeStruct(rem_shape, v.dtype),
+        ] + [
+            jax.ShapeDtypeStruct(cw_shape, jnp.int32) for _ in range(H)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(inv_q.reshape(1, 1), jnp.asarray(P), v)
+    pay, rem_part = outs[0], outs[1]
+    cws = outs[2:]
+    rem = extract_remainder(rem_part, nl, axes=(len(shape) - 1,))
+    # natural chunk order = (x, y, h): stack the H per-half planes on a new
+    # minor axis and ravel (tiny arrays)
+    cw = jnp.stack(cws, axis=-1).reshape(-1)
+    return pay, cw, rem
+
+
+def _inv_kernel_v2_body(nl, Z):
+    def kernel(q_ref, Pt_ref, zz_ref, rem_ref, out_ref):
+        import jax
+        import jax.numpy as jnp
+
+        zz = zz_ref[...].astype(jnp.uint32)
+        sym = (zz >> 1).astype(jnp.int32) ^ -(zz & 1).astype(jnp.int32)
+        q = q_ref[0, 0]
+        cf_g = sym.astype(q.dtype) * q
+        lead = 1
+        for s in cf_g.shape[:-1]:
+            lead *= s
+        flat = cf_g.reshape(lead, Z)
+        cf = jax.lax.dot_general(
+            flat, Pt_ref[...], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(cf_g.shape)
+        D = cf.ndim
+        rem_full = insert_remainder(cf, rem_ref[...], nl, axes=range(D - 1))
+        out_ref[...] = local_recompose(rem_full, nl)
+
+    return kernel
+
+
+def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
+    """Inverse of local_transform_fused_v2: u16 grouped zigzag payload ->
+    field. Un-zigzag + dequantize + ungroup (P^T matmul) + corner insert +
+    local recompose in one pass."""
+    shape = zz_u16.shape
+    tile = _tile_shape_v2(shape)
+    if tile is None or not _HAVE_PALLAS:
+        return None
+    Z = shape[-1]
+    grid = tuple(s // t for s, t in zip(shape, tile))
+    k = len(_rem_cols(nl))
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
+    part_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+
+    import jax.numpy as jnp
+
+    zeros = jnp.zeros(part_shape, rem.dtype)
+    rem_exp = insert_remainder(zeros, rem, nl, axes=(len(shape) - 1,),
+                               mask_select=False)
+    Pt = _group_perm_matrix(Z).T.copy()
+    return pl.pallas_call(
+        _inv_kernel_v2_body(nl, Z),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Z, Z), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(shape, dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(q.reshape(1, 1), jnp.asarray(Pt), zz_u16, rem_exp)[0]
+
+
 def hybrid_l_total(shape, num_levels: int, rem_hier: Hierarchy) -> int:
     """Total number of coarsening levels of the hybrid hierarchy."""
     return num_levels + rem_hier.l_target

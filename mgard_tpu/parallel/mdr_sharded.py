@@ -70,7 +70,7 @@ def MDRefactorSharded(
     B = int(config.total_num_bitplanes)
     negabinary = config.mdr_encoding == bitplane_encoding_type.NegaBinary
     orthogonal = bool(config.mdr_orthogonal_basis)
-    interleaver = {"direct": 0, "blocked": 1}[
+    interleaver = {"direct": 0, "blocked": 1, "sfc": 2}[
         getattr(config, "mdr_interleaver", "direct")
     ]
     enc = (
@@ -230,3 +230,59 @@ def MDReconstructSharded(
     for d, sl in enumerate(dmdr.subdomain_slices):
         out[sl] = rec[d]
     return out
+
+
+# ----------------------------------------------------------------------
+# Sharded file I/O (reference: pmdr-x-qoi-io,
+# src/mgard-x/Executables/pmdr-x-qoi-io.cpp — per-rank refactored-level
+# files written in parallel and retrieved byte-ranged per rank)
+# ----------------------------------------------------------------------
+def write_mdr_sharded(path_prefix: str, dmdr: DecomposedMDR,
+                      s: float = float("inf")) -> List[str]:
+    """Write one self-describing .mdr file per shard (the reference's
+    per-rank file layout) plus a tiny manifest binding them to the global
+    shape. Returns the written paths."""
+    import json
+    import os
+
+    from ..mdr.api import write_mdr
+
+    paths = []
+    for d, (meta, data) in enumerate(zip(dmdr.metas, dmdr.datas)):
+        p = f"{path_prefix}.rank{d}.mdr"
+        write_mdr(p, meta, data, s=s)
+        paths.append(p)
+    manifest = {
+        "shape": list(dmdr.shape),
+        "n_shards": len(dmdr.metas),
+        "slices": [
+            [[sl.start, sl.stop] for sl in sls]
+            for sls in dmdr.subdomain_slices
+        ],
+    }
+    with open(f"{path_prefix}.manifest.json", "w") as f:
+        json.dump(manifest, f)
+    return paths + [f"{path_prefix}.manifest.json"]
+
+
+def read_mdr_sharded(path_prefix: str, counts: Sequence[int]) -> DecomposedMDR:
+    """Byte-ranged retrieval of only the planes `counts` needs from every
+    shard file (the reference retriever's partial reads, per rank)."""
+    import json
+
+    from ..mdr.api import read_mdr_metadata, read_mdr_planes
+
+    with open(f"{path_prefix}.manifest.json") as f:
+        man = json.load(f)
+    metas, datas, sls = [], [], []
+    for d in range(int(man["n_shards"])):
+        p = f"{path_prefix}.rank{d}.mdr"
+        meta, hdr = read_mdr_metadata(p)
+        data = read_mdr_planes(p, meta, list(counts), hdr)
+        metas.append(meta)
+        datas.append(data)
+        sls.append(tuple(slice(a, b) for a, b in man["slices"][d]))
+    return DecomposedMDR(
+        shape=tuple(man["shape"]), subdomain_slices=sls, metas=metas,
+        datas=datas,
+    )

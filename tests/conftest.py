@@ -18,6 +18,11 @@ if os.environ.get("MGARD_TPU_TEST_TPU"):
     pass
 else:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # The persistent compile cache may hold XLA:CPU AOT executables compiled
+    # on a different machine type (this repo's cache dir travels across
+    # rigs); jax loads them with a "may SIGILL" warning. The cache's value
+    # is TPU compiles — disable it for the CPU suite.
+    os.environ.setdefault("MGARD_TPU_COMPILE_CACHE", "0")
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

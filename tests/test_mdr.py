@@ -252,6 +252,39 @@ def test_blocked_interleaver_roundtrip_and_ratio():
     assert abs(a - b) <= 0.25 * max(a, b), sizes
 
 
+def test_sfc_interleaver_roundtrip_and_ratio():
+    """SFC (Morton) interleaver (reference: MDR-X/Interleaver/
+    SFCInterleaver.hpp) round-trips exactly; measured ratio effect vs
+    direct like the Blocked test (r3 VERDICT #7)."""
+    import numpy as np
+
+    import mgard_tpu
+    from mgard_tpu.mdr import MDReconstruct, MDRefactor, MDRequest
+    from mgard_tpu.mdr.components import _morton_fwd, _morton_inv
+
+    # pure-permutation sanity: morton of an 8x8 iota is the Z-order curve
+    a = np.arange(64).reshape(8, 8)
+    m = np.asarray(_morton_fwd(a))
+    assert m[0] == 0 and m[1] == a[0, 1] and m[2] == a[1, 0] and m[3] == a[1, 1]
+    np.testing.assert_array_equal(np.asarray(_morton_inv(m, (8, 8))), a)
+
+    x = np.linspace(0, 1, 64)
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    v = (np.sin(5 * X) * np.cos(4 * Y) + 0.1 * Z).astype(np.float32)
+    sizes = {}
+    for mode in ("direct", "sfc"):
+        cfg = mgard_tpu.Config()
+        cfg.mdr_interleaver = mode
+        meta, data = MDRefactor(v, cfg)
+        assert meta.interleaver == (2 if mode == "sfc" else 0)
+        counts = MDRequest(meta, 1e-3)
+        rec = MDReconstruct(meta, data, counts)
+        assert np.max(np.abs(rec.data - v)) <= 1e-3, mode
+        sizes[mode] = sum(sum(lm.plane_sizes) for lm in meta.levels)
+    a, b = sizes["direct"], sizes["sfc"]
+    assert abs(a - b) <= 0.25 * max(a, b), sizes
+
+
 def test_interleaver_persisted_in_header(tmp_path):
     import numpy as np
 
