@@ -58,7 +58,7 @@ def make_field(n: int):
     return gen()
 
 
-def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
+def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -79,7 +79,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     nbytes = n * n * n * 4
     N = n * n * n
     n_rem = int(np.prod(rem_hier.shape))
-    C = bfp.CHUNK
+    C = chunk or H._pick_v2_chunk(padded, cfg)  # production pick (16 at 512^3)
     E = bfp.E_DEFAULT
     sb = bfp.SB_BLOCKS
     assert H._hybrid_v2_ok(padded, np.float32, cfg), "v2 gate must pass at 512^3"
@@ -133,8 +133,10 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
     base, resid2d, resid_rows, crl = out[0], out[1], out[2], out[3]
     rbase, rcrl, rresid2d, rresid_rows = out[4], out[5], out[6], out[7]
     rexc_ids, rexc_blocks, rexc_count = out[8], out[9], out[10]
-    total_i = int(resid_rows) * 128
-    rtotal_i = int(rresid_rows) * 128
+    # compacted wire words (what serialize writes): each chunk ships one
+    # word per band (C) per active residual plane (crl), no row padding
+    total_i = C * int(np.asarray(crl, np.int64).sum())
+    rtotal_i = bfp.CHUNK * int(np.asarray(rcrl, np.int64).sum())
     tc_compile = time.time() - t0
     print(f"# compile+first compress: {tc_compile:.1f}s", file=sys.stderr)
 
@@ -207,7 +209,10 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8):
 
 if __name__ == "__main__":
     n = 512
+    chunk = 0
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=")[1])
-    run(n)
+        if a.startswith("--chunk="):
+            chunk = int(a.split("=")[1])
+    run(n, chunk=chunk)

@@ -241,13 +241,29 @@ def _hybrid_quantizer(abs_tol: float, l_total: int) -> float:
     return 2.0 * abs_tol / (l_total + 1)
 
 
+def _pick_v2_chunk(padded, config: Config) -> int:
+    """Sort-chunk size for the v2 front-end: an explicit Config.bfp_chunk
+    wins; otherwise the largest C whose (C*32)-element chunk rows tile the
+    last axis exactly. C=16 (1 KB gather rows) measures ~1.4x faster than
+    C=8 on the sort-gather-bound encode at 512^3 and costs ~0.3% ratio."""
+    C = int(getattr(config, "bfp_chunk", 0) or 0)
+    if C:
+        return C
+    from .lossless import bfp as _bfp
+
+    for cand in (16, 8, 4, 2):
+        if padded[-1] % (cand * 32) == 0 and _bfp.SB_BLOCKS % (cand * _bfp.LANES) == 0:
+            return cand
+    return 1
+
+
 def _hybrid_v2_ok(padded, dtype, config: Config) -> bool:
     """Gate for the one-pass cf front-end (ops/hybrid.py v2 kernel +
     lossless/bfp.py prepared-payload cores)."""
     from .lossless import bfp as _bfp
     from .ops.hybrid import _tile_shape_v2
 
-    C = int(getattr(config, "bfp_chunk", 0) or _bfp.CHUNK)
+    C = _pick_v2_chunk(padded, config)
     return (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
@@ -419,9 +435,7 @@ def _dispatch_subdomain(
         )
         q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
         if _hybrid_v2_ok(padded, hier.dtype, config):
-            from .lossless import bfp as _bfp
-
-            C = int(getattr(config, "bfp_chunk", 0) or _bfp.CHUNK)
+            C = _pick_v2_chunk(padded, config)
             pay, cw, rem_sym = _compress_core_hybrid_v2(
                 v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C
             )
@@ -467,7 +481,7 @@ def _raw_section(lt_eff, dev_state, config: Config) -> bytes:
 
 def _serialize_hybrid_v2(st, config: Config) -> bytes:
     """Serialize the one-pass hybrid front-end: flag byte 1, cf stream as a
-    prepared BFP4 blob, rem stream as a standard lossless section. Falls
+    prepared BFP5 blob, rem stream as a standard lossless section. Falls
     back to the legacy single-stream layout (flag 0) when the chunk widths
     exceed the u16 budget (K+E > 16 or an over-wide chunk)."""
     from .lossless import bfp as _bfp

@@ -29,18 +29,28 @@ Reference counterpart: the fixed-length+outlier design of BlockDelta/cuSZp
 (reference: include/mgard-x/Lossless/BlockDelta/*.hpp); the sorted-prefix
 placement is this framework's own.
 
-Blob format "BFP4" (little-endian):
+Blob format "BFP5" (little-endian) — the BANDED layout (round 4): the
+whole device pipeline stays in the natural (NC, C*32) chunk-row layout.
+TPU tiles pad minor dims < 128 lanes to 128 in HBM, so the former
+(NB, 32) plane layout paid 4x traffic on the sort gather, the pack
+kernel's reads, and both again on decode; banded tiles are full-lane.
+Within a superblock each residual plane j is C BANDS (one per block slot
+b in the chunk), band b holding the plane-j words of the first ccnt_j
+sorted chunks' b-th blocks, each band zero-padded to a 128-word row:
+
   header:  <4sQQBBIBQ  magic, n, resid_rows (128-word rows), K, E,
            sb_blocks, chunk_blocks C, exc_count>
   nibbles: ceil(NC/2) bytes — per-CHUNK residual lengths (chunk = C
            blocks, C in the header, max of the blocks' rl) in NATURAL
            chunk order, low nibble first
-  base:    NB*K u32 (per superblock: plane-major, chunks in SORTED order,
-           blocks natural within chunk)
-  resid:   resid_rows * 128 u32. Per superblock: planes K..K+E-1 in order,
-           plane j holding the 4*ccnt_j words of the first ccnt_j sorted
-           chunks, zero-padded to a 128-word row boundary; superblocks
-           start at row boundaries.
+  base:    NB*K u32 (per superblock: plane-major, then band-major
+           (block slot b), then sbc = sb/C chunks in SORTED order)
+  resid:   resid_words u32 — the COMPACTED band payload: per superblock,
+           per plane j = K..K+E-1, per band b = 0..C-1, exactly ccnt_j
+           valid words (no padding on the wire; the 128-word row padding
+           of the device layout is stripped by serialize and re-created
+           by deserialize, both driven by the nibble sidecar alone).
+           The header's third field holds resid_words.
   exc ids: exc_count u32 (ascending NATURAL chunk indices)
   exc chunks: exc_count * 128 i32 raw symbols (chunk-major)
 """
@@ -76,7 +86,7 @@ LANES = 128
 # rows want >= 512 B => C = 8) at the price of a coarser chunk-max width.
 CHUNK = 8
 
-_MAGIC = b"BFP4"
+_MAGIC = b"BFP5"
 _HDR = "<4sQQBBIBQ"
 
 
@@ -112,36 +122,60 @@ def _sort_plan(rl2, E: int):
     return rank.astype(jnp.int32), cnt.astype(jnp.int32)
 
 
-def _plan_offsets(cnt, PR: int):
-    """From per-plane counts (NSB, E): plane row offsets within each
-    superblock, per-SB total rows, and global SB row offsets."""
-    rows = (cnt + (LANES - 1)) // LANES  # (NSB, E)
+def _plan_offsets(cnt_c, C: int):
+    """From per-plane CHUNK counts (NSB, E): per-band row counts rband,
+    plane row offsets within each superblock, global SB row offsets, and
+    the total row count. Each plane stores C bands of rband rows."""
+    rband = (cnt_c + (LANES - 1)) // LANES  # (NSB, E)
+    rows = rband * C
     woff = jnp.cumsum(rows, axis=1, dtype=jnp.int32) - rows
     tot = jnp.sum(rows, axis=1, dtype=jnp.int32)  # (NSB,)
     sb_off = (jnp.cumsum(tot) - tot).astype(jnp.int32)
     resid_rows = (sb_off[-1] + tot[-1]).astype(jnp.int32)
-    return rows.astype(jnp.int32), woff.astype(jnp.int32), sb_off, resid_rows
+    return rband.astype(jnp.int32), woff.astype(jnp.int32), sb_off, resid_rows
 
 
 # ----------------------------------------------------------------------
-# Pallas kernels: one pass per superblock, natural-layout tiles in/out
+# Pallas kernels: one pass per superblock, banded (sbc, C*32) tiles —
+# full 128-lane rows everywhere, no (NB, 32) lane-padded intermediates
 # ----------------------------------------------------------------------
-def _enc_kernel(K, E, PR, woff_ref, sboff_ref, sym_ref, base_ref, out_ref,
-                buf, sem):
+def _plane_split(tile_u32, C):
+    """(sbc, C*32) u32 chunk rows -> (32, C, sbc) bitplane words: index
+    [j, b, c'] = plane-j word of block slot b of (sorted) chunk c'."""
+    sbc = tile_u32.shape[0]
+    zi = tile_u32.T.reshape(C, BS, sbc).transpose(1, 0, 2)  # (32, C, sbc)
+    return _bit_transpose32(zi)
+
+
+def _plane_merge(zt, C):
+    """Inverse of _plane_split: (32, C, sbc) plane words -> (sbc, C*32)."""
+    sbc = zt.shape[2]
+    zi = _bit_transpose32(zt)  # (32, C, sbc) element words
+    return zi.transpose(1, 0, 2).reshape(C * BS, sbc).T
+
+
+def _enc_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, sym_ref,
+                base_ref, out_ref, buf, sem):
     i = pl.program_id(0)
-    S = sym_ref.shape[0]
+    sbc = sym_ref.shape[0]
     CAP = E * PR
     # payload is pre-zigzagged (u16 when K+E <= 16 — halves every HBM pass
     # feeding the kernel; u32 otherwise); widen is register-only
-    zz = sym_ref[...].astype(jnp.uint32)  # (S, 32)
-    zt = _bit_transpose32(zz.T)  # (32, S) plane rows
+    zt = _plane_split(sym_ref[...].astype(jnp.uint32), C)
     if K:
-        base_ref[...] = zt[:K].reshape(1, K, S)
+        base_ref[...] = zt[:K].reshape(1, K, C, sbc)
     buf[...] = jnp.zeros_like(buf)
     for j in range(E):
         o = woff_ref[i * E + j]
-        cur = buf[pl.ds(o, PR)]
-        buf[pl.ds(o, PR)] = cur | zt[K + j].reshape(PR, LANES)
+        rb = rband_ref[i * E + j]
+        for b in range(C):
+            # capacity write of a FULL band (BPR rows) at the band's
+            # offset: rows past rband hold plane words of chunks with
+            # rl <= j, which are zero — OR-spill into the next band is
+            # lossless (same trick as the superblock DMA chain)
+            ob = o + b * rb
+            cur = buf[pl.ds(ob, BPR)]
+            buf[pl.ds(ob, BPR)] = cur | zt[K + j, b].reshape(BPR, LANES)
     dma = pltpu.make_async_copy(
         buf.at[pl.ds(0, CAP)], out_ref.at[pl.ds(sboff_ref[i], CAP)], sem
     )
@@ -149,119 +183,138 @@ def _enc_kernel(K, E, PR, woff_ref, sboff_ref, sym_ref, base_ref, out_ref,
     dma.wait()
 
 
-def _dec_kernel(K, E, PR, woff_ref, sboff_ref, cnt_ref, base_ref, flat_ref,
-                out_ref, buf, sem):
+def _dec_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, cnt_ref,
+                base_ref, flat_ref, out_ref, buf, sem):
     i = pl.program_id(0)
-    S = out_ref.shape[0]
+    sbc = out_ref.shape[0]
     CAP = E * PR
     dma = pltpu.make_async_copy(
         flat_ref.at[pl.ds(sboff_ref[i], CAP)], buf.at[pl.ds(0, CAP)], sem
     )
     dma.start()
     dma.wait()
-    rows = [base_ref[...].reshape(max(K, 1), S)[:K]] if K else []
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+    rows = [base_ref[...].reshape(max(K, 1), C, sbc)[:K]] if K else []
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sbc), 2)
     for j in range(E):
-        pj = buf[pl.ds(woff_ref[i * E + j], PR)].reshape(1, S)
+        o = woff_ref[i * E + j]
+        rb = rband_ref[i * E + j]
+        bands = []
+        for b in range(C):
+            bands.append(buf[pl.ds(o + b * rb, BPR)].reshape(1, 1, sbc))
+        pj = jnp.concatenate(bands, axis=1)  # (1, C, sbc)
         rows.append(jnp.where(col < cnt_ref[i * E + j], pj, jnp.uint32(0)))
     hi = 32 - K - E
     if hi > 0:
-        rows.append(jnp.zeros((hi, S), jnp.uint32))
+        rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))
     zt = jnp.concatenate(rows, axis=0)
     # emit ZIGZAG tiles in the payload dtype; un-zigzag happens outside
     # after the un-sort gather (on the narrow half-width stream)
-    out_ref[...] = _bit_transpose32(zt).T.astype(out_ref.dtype)
+    out_ref[...] = _plane_merge(zt, C).astype(out_ref.dtype)
 
 
-def _encode_pallas(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
-    NB = sym_sorted.shape[0]
-    NSB = NB // sb
+def _encode_pallas(sym_sorted, woff, rband, sb_off, K, E, sb, C, alloc_rows):
+    NC = sym_sorted.shape[0]
+    sbc = sb // C
+    NSB = NC // sbc
     PR = sb // LANES
+    BPR = sbc // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(NSB,),
         in_specs=[
-            pl.BlockSpec((sb, BS), lambda i, w, s: (i, i * 0),
+            pl.BlockSpec((sbc, C * BS), lambda i, *_: (i, i * 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, max(K, 1), sb), lambda i, w, s: (i, i * 0, i * 0),
+            pl.BlockSpec((1, max(K, 1), C, sbc),
+                         lambda i, *_: (i, i * 0, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((E * PR, LANES), jnp.uint32),
+            pltpu.VMEM((E * PR + 16, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        partial(_enc_kernel, K, E, PR),
+        partial(_enc_kernel, K, E, PR, C, BPR),
         out_shape=[
-            jax.ShapeDtypeStruct((NSB, max(K, 1), sb), jnp.uint32),
+            jax.ShapeDtypeStruct((NSB, max(K, 1), C, sbc), jnp.uint32),
             jax.ShapeDtypeStruct((alloc_rows, LANES), jnp.uint32),
         ],
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(woff.reshape(-1), sb_off, sym_sorted)
+    )(woff.reshape(-1), rband.reshape(-1), sb_off, sym_sorted)
 
 
-def _decode_pallas(base3d, flat2d, woff, sb_off, cnt, K, E, sb, out_dtype):
-    NSB = base3d.shape[0]
-    NB = NSB * sb
+def _decode_pallas(base4d, flat2d, woff, rband, sb_off, cnt_c, K, E, sb, C,
+                   out_dtype):
+    NSB = base4d.shape[0]
+    sbc = sb // C
     PR = sb // LANES
+    BPR = sbc // LANES
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(NSB,),
         in_specs=[
-            pl.BlockSpec((1, max(K, 1), sb), lambda i, w, s, c: (i, i * 0, i * 0),
+            pl.BlockSpec((1, max(K, 1), C, sbc),
+                         lambda i, *_: (i, i * 0, i * 0, i * 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((sb, BS), lambda i, w, s, c: (i, i * 0),
+        out_specs=pl.BlockSpec((sbc, C * BS), lambda i, *_: (i, i * 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((E * PR, LANES), jnp.uint32),
+            pltpu.VMEM((E * PR + 16, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        partial(_dec_kernel, K, E, PR),
-        out_shape=jax.ShapeDtypeStruct((NB, BS), out_dtype),
+        partial(_dec_kernel, K, E, PR, C, BPR),
+        out_shape=jax.ShapeDtypeStruct((NSB * sbc, C * BS), out_dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, vmem_limit_bytes=64 * 1024 * 1024
         ),
-    )(woff.reshape(-1), sb_off, cnt.reshape(-1), base3d, flat2d)
+    )(woff.reshape(-1), rband.reshape(-1), sb_off, cnt_c.reshape(-1),
+      base4d, flat2d)
 
 
 # ----------------------------------------------------------------------
 # XLA fallback (CPU oracle): identical format via dynamic slices
 # ----------------------------------------------------------------------
-def _encode_xla(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
-    NB = sym_sorted.shape[0]
-    NSB = NB // sb
+def _encode_xla(sym_sorted, woff, rband, sb_off, K, E, sb, C, alloc_rows):
+    NC = sym_sorted.shape[0]
+    sbc = sb // C
+    NSB = NC // sbc
     PR = sb // LANES
+    BPR = sbc // LANES
     CAP = E * PR
 
-    def one(tile, woff_row):
-        zz = tile.astype(jnp.uint32)  # payload is pre-zigzagged
-        zt = _bit_transpose32(zz.T)
-        base = (zt[:K] if K else jnp.zeros((0, sb), jnp.uint32))
+    def one(tile, woff_row, rb_row):
+        zt = _plane_split(tile.astype(jnp.uint32), C)  # (32, C, sbc)
+        base = (zt[:K] if K else jnp.zeros((0, C, sbc), jnp.uint32))
         base = jnp.concatenate(
-            [base, jnp.zeros((max(K, 1) - K, sb), jnp.uint32)], axis=0
+            [base, jnp.zeros((max(K, 1) - K, C, sbc), jnp.uint32)], axis=0
         )
         buf = jnp.zeros((CAP, LANES), jnp.uint32)
         for j in range(E):
-            o = woff_row[j]
-            win = jax.lax.dynamic_slice(buf, (o, jnp.int32(0)), (PR, LANES))
-            buf = jax.lax.dynamic_update_slice(
-                buf, win | zt[K + j].reshape(PR, LANES), (o, jnp.int32(0))
-            )
+            for b in range(C):
+                ob = woff_row[j] + b * rb_row[j]
+                win = jax.lax.dynamic_slice(
+                    buf, (ob, jnp.int32(0)), (BPR, LANES)
+                )
+                buf = jax.lax.dynamic_update_slice(
+                    buf, win | zt[K + j, b].reshape(BPR, LANES),
+                    (ob, jnp.int32(0)),
+                )
         return base, buf
 
-    bases, bufs = jax.vmap(one)(sym_sorted.reshape(NSB, sb, BS), woff)
+    bases, bufs = jax.vmap(one)(
+        sym_sorted.reshape(NSB, sbc, C * BS), woff, rband
+    )
     out = jnp.zeros((alloc_rows, LANES), jnp.uint32)
 
     def body(out, xs):
@@ -274,28 +327,36 @@ def _encode_xla(sym_sorted, woff, sb_off, K, E, sb, alloc_rows):
     return bases, out
 
 
-def _decode_xla(base3d, flat2d, woff, sb_off, cnt, K, E, sb, out_dtype):
-    NSB = base3d.shape[0]
+def _decode_xla(base4d, flat2d, woff, rband, sb_off, cnt_c, K, E, sb, C,
+                out_dtype):
+    NSB = base4d.shape[0]
+    sbc = sb // C
     PR = sb // LANES
+    BPR = sbc // LANES
     CAP = E * PR
 
-    def one(base, woff_row, off, cnt_row):
+    def one(base, woff_row, rb_row, off, cnt_row):
         buf = jax.lax.dynamic_slice(flat2d, (off, jnp.int32(0)), (CAP, LANES))
-        rows = [base.reshape(max(K, 1), sb)[:K]] if K else []
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, sb), 1)
+        rows = [base.reshape(max(K, 1), C, sbc)[:K]] if K else []
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sbc), 2)
         for j in range(E):
-            pj = jax.lax.dynamic_slice(buf, (woff_row[j], jnp.int32(0)), (PR, LANES))
-            rows.append(
-                jnp.where(col < cnt_row[j], pj.reshape(1, sb), jnp.uint32(0))
-            )
+            bands = []
+            for b in range(C):
+                pj = jax.lax.dynamic_slice(
+                    buf, (woff_row[j] + b * rb_row[j], jnp.int32(0)),
+                    (BPR, LANES),
+                )
+                bands.append(pj.reshape(1, 1, sbc))
+            pj = jnp.concatenate(bands, axis=1)
+            rows.append(jnp.where(col < cnt_row[j], pj, jnp.uint32(0)))
         hi = 32 - K - E
         if hi > 0:
-            rows.append(jnp.zeros((hi, sb), jnp.uint32))
+            rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))
         zt = jnp.concatenate(rows, axis=0)
-        return _bit_transpose32(zt).T.astype(out_dtype)
+        return _plane_merge(zt, C).astype(out_dtype)
 
-    tiles = jax.vmap(one)(base3d, woff, sb_off, cnt)
-    return tiles.reshape(NSB * sb, BS)
+    tiles = jax.vmap(one)(base4d, woff, rband, sb_off, cnt_c)
+    return tiles.reshape(NSB * sbc, C * BS)
 
 
 # ----------------------------------------------------------------------
@@ -349,51 +410,50 @@ def encode_core(sym_padded, K: int, E: int, sb: int, exc_cap: int,
     narrow = (K + E) <= 16
     payload = zz_rows.astype(jnp.uint16) if narrow else zz_rows
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * C, PR)
+    rband, woff, sb_off, resid_rows = _plan_offsets(cnt_c, C)
     # invert the chunk-rank permutation (scatter of unique indices) and
-    # gather chunk rows into sorted order
+    # gather chunk rows into sorted order — the gather's (NC, C*32)
+    # output layout IS the kernels' tile layout (no lane-padded reshape)
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
     perm = (
         jnp.zeros((NC,), jnp.int32)
         .at[rank_g]
         .set(jnp.arange(NC, dtype=jnp.int32), unique_indices=True)
     )
-    zz_sorted = jnp.take(payload, perm, axis=0).reshape(NB, BS)
+    zz_sorted = jnp.take(payload, perm, axis=0)
     alloc_rows = (NSB + 1) * CAP
     if use_pallas:
         base, resid2d = _encode_pallas(
-            zz_sorted, woff, sb_off, K, E, sb, alloc_rows
+            zz_sorted, woff, rband, sb_off, K, E, sb, C, alloc_rows
         )
     else:
         base, resid2d = _encode_xla(
-            zz_sorted, woff, sb_off, K, E, sb, alloc_rows
+            zz_sorted, woff, rband, sb_off, K, E, sb, C, alloc_rows
         )
     return base, crl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
-def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
+def decode_core(base4d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
                 sb: int, use_pallas: bool, NB: int, C: int = CHUNK):
     """Inverse of encode_core -> (N,) int32 symbols."""
     NC = NB // C
     NSB = NB // sb
     sbc = sb // C
-    PR = sb // LANES
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    cnt = cnt_c * C
-    _, woff, sb_off, _ = _plan_offsets(cnt, PR)
+    rband, woff, sb_off, _ = _plan_offsets(cnt_c, C)
     narrow = (K + E) <= 16
     out_dtype = jnp.uint16 if narrow else jnp.uint32
     if use_pallas:
-        zz_sorted = _decode_pallas(base3d, resid2d, woff, sb_off, cnt,
-                                   K, E, sb, out_dtype)
+        zz_sorted = _decode_pallas(base4d, resid2d, woff, rband, sb_off,
+                                   cnt_c, K, E, sb, C, out_dtype)
     else:
-        zz_sorted = _decode_xla(base3d, resid2d, woff, sb_off, cnt,
-                                K, E, sb, out_dtype)
+        zz_sorted = _decode_xla(base4d, resid2d, woff, rband, sb_off,
+                                cnt_c, K, E, sb, C, out_dtype)
     # un-sort: natural[c] = sorted[rank[c]] — one row gather (half width
     # on the narrow path), then widen + un-zigzag elementwise
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
-    zz_rows = jnp.take(zz_sorted.reshape(NC, C * BS), rank_g, axis=0)
+    zz_rows = jnp.take(zz_sorted, rank_g, axis=0)
     sym_rows = _unzigzag(zz_rows.astype(jnp.uint32))
     # patch exception chunks with their verbatim symbols (row scatter)
     sym_rows = sym_rows.at[exc_ids].set(exc_blocks, mode="drop")
@@ -405,7 +465,7 @@ def decode_core(base3d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
 # already emitted the u16 zigzag payload and the true u32 chunk widths, so
 # encode skips the zigzag/width/exception passes entirely. The caller
 # guarantees no chunk exceeds K+E planes (it falls back to the generic
-# path otherwise), so the serialized blob is plain BFP4 with exc_count=0.
+# path otherwise), so the serialized blob is plain BFP5 with exc_count=0.
 # ----------------------------------------------------------------------
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
@@ -418,70 +478,70 @@ def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
     sbc = sb // C
     PR = sb // LANES
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    _, woff, sb_off, resid_rows = _plan_offsets(cnt_c * C, PR)
+    rband, woff, sb_off, resid_rows = _plan_offsets(cnt_c, C)
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
     perm = (
         jnp.zeros((NC,), jnp.int32)
         .at[rank_g]
         .set(jnp.arange(NC, dtype=jnp.int32), unique_indices=True)
     )
-    zz_sorted = jnp.take(payload_rows, perm, axis=0).reshape(NB, BS)
+    zz_sorted = jnp.take(payload_rows, perm, axis=0)
     alloc_rows = (NSB + 1) * E * PR
     if use_pallas:
-        base, resid2d = _encode_pallas(zz_sorted, woff, sb_off, K, E, sb,
-                                       alloc_rows)
+        base, resid2d = _encode_pallas(zz_sorted, woff, rband, sb_off,
+                                       K, E, sb, C, alloc_rows)
     else:
-        base, resid2d = _encode_xla(zz_sorted, woff, sb_off, K, E, sb,
-                                    alloc_rows)
+        base, resid2d = _encode_xla(zz_sorted, woff, rband, sb_off,
+                                    K, E, sb, C, alloc_rows)
     return base, resid2d, resid_rows
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
-def decode_core_zz(base3d, crl, resid2d, K: int, E: int, sb: int,
+def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
                    use_pallas: bool, NB: int, C: int):
     """Inverse of encode_core_zz -> (NC, C*32) u16 zigzag rows in natural
     order (the hybrid-v2 inverse kernel consumes them directly)."""
     NC = NB // C
     NSB = NB // sb
     sbc = sb // C
-    PR = sb // LANES
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
-    cnt = cnt_c * C
-    _, woff, sb_off, _ = _plan_offsets(cnt, PR)
+    rband, woff, sb_off, _ = _plan_offsets(cnt_c, C)
     if use_pallas:
-        zz_sorted = _decode_pallas(base3d, resid2d, woff, sb_off, cnt,
-                                   K, E, sb, jnp.uint16)
+        zz_sorted = _decode_pallas(base4d, resid2d, woff, rband, sb_off,
+                                   cnt_c, K, E, sb, C, jnp.uint16)
     else:
-        zz_sorted = _decode_xla(base3d, resid2d, woff, sb_off, cnt,
-                                K, E, sb, jnp.uint16)
+        zz_sorted = _decode_xla(base4d, resid2d, woff, rband, sb_off,
+                                cnt_c, K, E, sb, C, jnp.uint16)
     rank_g = (rank_c + jnp.arange(NSB, dtype=jnp.int32)[:, None] * sbc).reshape(-1)
-    return jnp.take(zz_sorted.reshape(NC, C * BS), rank_g, axis=0)
+    return jnp.take(zz_sorted, rank_g, axis=0)
 
 
 def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
                        base, resid2d, resid_rows) -> bytes:
-    """Serialize an encode_core_zz result as a standard BFP4 blob
+    """Serialize an encode_core_zz result as a standard BFP5 blob
     (exception-free)."""
     from .huffman import device_get_prefix
 
     rows_i = int(resid_rows)
     NB = _pad_to(n, sb) // BS
     NC = NB // C
-    rl_h = np.asarray(crl).astype(np.uint8)
+    crl_h = np.asarray(crl)
+    rl_h = crl_h.astype(np.uint8)
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
     base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
-    resid_h = device_get_prefix(
+    resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
-    ).astype("<u4")
-    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, C, 0)
+    ).astype(np.uint32)
+    resid_h = _compact_resid(resid_flat, crl_h, E, C, sb).astype("<u4")
+    head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, 0)
     return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
             + resid_h.tobytes())
 
 
 def deserialize_prepared(data: bytes, offset: int = 0):
-    """Parse a BFP4 blob into device arrays for decode_core_zz. Returns
+    """Parse a BFP5 blob into device arrays for decode_core_zz. Returns
     (base3d, crl, resid2d, (n, K, E, sb, C), consumed). Requires an
     exception-free blob (the hybrid-v2 writer's invariant)."""
     magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(_HDR, data, offset)
@@ -493,6 +553,7 @@ def deserialize_prepared(data: bytes, offset: int = 0):
     npad = _pad_to(n, sb)
     NB = npad // BS
     NSB = NB // sb
+    sbc = sb // C
     PR = sb // LANES
     CAP = E * PR
     NC = NB // C
@@ -503,16 +564,68 @@ def deserialize_prepared(data: bytes, offset: int = 0):
     rl[0::2] = nib & 0xF
     rl[1::2] = nib >> 4
     rl = rl[:NC]
-    base = np.zeros((NSB, max(K, 1), sb), np.uint32)
+    base = np.zeros((NSB, max(K, 1), C, sbc), np.uint32)
     if K:
-        base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(NSB, K, sb)
+        base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(
+            NSB, K, C, sbc
+        )
         p += 4 * K * NB
-    resid = np.frombuffer(data, "<u4", resid_rows * LANES, p)
-    p += 4 * resid_rows * LANES
-    rbuf = np.zeros((resid_rows + CAP, LANES), np.uint32)
-    rbuf.reshape(-1)[: resid_rows * LANES] = resid
+    resid = np.frombuffer(data, "<u4", resid_rows, p)
+    p += 4 * resid_rows
+    rbuf, _ = _expand_resid(resid, rl, E, C, sb)
     return (jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
             (n, K, E, sb, C), p - offset)
+
+
+# ----------------------------------------------------------------------
+# Wire compaction (host side): map between the device row-padded band
+# layout and the compact valid-words wire layout, from the sidecar alone
+# ----------------------------------------------------------------------
+def _band_src_indices(crl_h: np.ndarray, E: int, C: int, sb: int):
+    """From host chunk residual lengths (NC,): flat word indices of every
+    VALID band word inside the device (rows, 128) buffer, in wire order.
+    Returns (src (resid_words,) int64, padded_rows int)."""
+    NC = crl_h.shape[0]
+    sbc = sb // C
+    NSB = (NC * C) // sb
+    crl2 = crl_h.reshape(NSB, sbc)
+    cnt = (crl2[:, None, :] > np.arange(E)[None, :, None]).sum(2)  # (NSB,E)
+    rband = -(-cnt // LANES)
+    rows_p = rband * C  # rows per (SB, plane)
+    sb_rows = rows_p.sum(1)
+    sb_off = np.concatenate([[0], np.cumsum(sb_rows)])[:-1]
+    woff = np.cumsum(rows_p, axis=1) - rows_p
+    seg_start = (
+        sb_off[:, None, None] + woff[:, :, None]
+        + np.arange(C)[None, None, :] * rband[:, :, None]
+    ).astype(np.int64) * LANES  # (NSB, E, C) word offsets
+    lens = np.broadcast_to(cnt[:, :, None], (NSB, E, C)).reshape(-1)
+    starts = seg_start.reshape(-1)
+    total = int(lens.sum())
+    cl = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    src = np.repeat(starts - cl, lens) + np.arange(total, dtype=np.int64)
+    return src, int(sb_rows.sum())
+
+
+def _compact_resid(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
+                   C: int, sb: int) -> np.ndarray:
+    src, _ = _band_src_indices(crl_h, E, C, sb)
+    return resid_flat[src]
+
+
+def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
+                  sb: int):
+    """Inverse of _compact_resid -> (padded_rows, words (rows,128) f...)"""
+    src, rows = _band_src_indices(crl_h, E, C, sb)
+    if compact.shape[0] != src.shape[0]:
+        raise ValueError(
+            f"BFP resid stream has {compact.shape[0]} words, sidecar "
+            f"implies {src.shape[0]}"
+        )
+    CAP = E * (sb // LANES)
+    buf = np.zeros(((rows + CAP) * LANES,), np.uint32)
+    buf[src] = compact
+    return buf.reshape(-1, LANES), rows
 
 
 # ----------------------------------------------------------------------
@@ -586,8 +699,12 @@ def encode_device(symbols, config=None):
         # silently overflow into the neighbouring nibble and corrupt decode
         raise ValueError(f"bfp_resid_planes must be in [1, 15], got {E}")
     C = int(getattr(config, "bfp_chunk", 0) or CHUNK)
-    if C < 1 or C > 255 or (sb % C) or (C * BS) % LANES:
-        raise ValueError(f"bfp_chunk must divide sb and fill whole lanes, got {C}")
+    if C < 1 or C > 255 or (sb % C):
+        raise ValueError(f"bfp_chunk must divide sb, got {C}")
+    # the banded layout needs whole 128-word rows per band (sbc % LANES
+    # == 0); halve C until it fits (C=1 always does since sb % LANES == 0)
+    while C > 1 and sb % (C * LANES):
+        C //= 2
     K = int(getattr(config, "bfp_base_planes", 0) or 0)
     key = (npad, E, C)
     if not K:
@@ -625,19 +742,21 @@ def serialize_device(state) -> bytes:
         cnt = int(exc_count)
     rows_i = int(resid_rows)
     NC = NB // C
-    rl_h = np.asarray(rl).astype(np.uint8)  # (NC,) chunk residual lengths
+    crl_h = np.asarray(rl)  # (NC,) chunk residual lengths
+    rl_h = crl_h.astype(np.uint8)
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
     base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
-    resid_h = device_get_prefix(
+    resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
-    ).astype("<u4")
+    ).astype(np.uint32)
+    resid_h = _compact_resid(resid_flat, crl_h, E, C, sb).astype("<u4")
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
     blk_h = np.asarray(exc_blocks[:cnt]).astype("<i4") if cnt else np.zeros(
         (0, C * BS), "<i4"
     )
-    head = struct.pack(_HDR, _MAGIC, n, rows_i, K, E, sb, C, cnt)
+    head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, cnt)
     return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
             + resid_h.tobytes() + ids_h.tobytes() + blk_h.tobytes())
 
@@ -656,6 +775,7 @@ def decode(data: bytes, offset: int = 0):
     npad = _pad_to(n, sb)
     NB = npad // BS
     NSB = NB // sb
+    sbc = sb // C
     PR = sb // LANES
     CAP = E * PR
     NC = NB // C
@@ -666,21 +786,23 @@ def decode(data: bytes, offset: int = 0):
     rl[0::2] = nib & 0xF
     rl[1::2] = nib >> 4
     rl = rl[:NC]
-    base = np.zeros((NSB, max(K, 1), sb), np.uint32)
+    base = np.zeros((NSB, max(K, 1), C, sbc), np.uint32)
     if K:
-        base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(NSB, K, sb)
+        base[:, :K] = np.frombuffer(data, "<u4", K * NB, p).reshape(
+            NSB, K, C, sbc
+        )
         p += 4 * K * NB
-    resid = np.frombuffer(data, "<u4", resid_rows * LANES, p)
-    p += 4 * resid_rows * LANES
+    resid = np.frombuffer(data, "<u4", resid_rows, p)
+    p += 4 * resid_rows
     ids = np.frombuffer(data, "<u4", cnt, p).astype(np.int32)
     p += 4 * cnt
     blocks = np.frombuffer(data, "<i4", cnt * C * BS, p).reshape(
         cnt, C * BS
     )
     p += 4 * cnt * C * BS
-    # capacity slack: the last superblock's window reads up to CAP rows
-    rbuf = np.zeros((resid_rows + CAP, LANES), np.uint32)
-    rbuf.reshape(-1)[: resid_rows * LANES] = resid
+    # re-create the device row-padded band layout (incl. the CAP slack the
+    # last superblock's capacity window reads)
+    rbuf, _ = _expand_resid(resid, rl, E, C, sb)
     exc_cap = _exc_bucket(cnt, NC) if cnt else 256
     ids_pad = np.full(exc_cap, NC, np.int32)
     ids_pad[:cnt] = ids
@@ -701,8 +823,9 @@ def decode(data: bytes, offset: int = 0):
 def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL,
               C: int = CHUNK):
     """Slow host reference: returns (crl u8 (NC,) natural chunk order,
-    base u32 (chunk-sorted, plane-major per superblock), resid u32
-    (row-padded sorted-prefix planes), exc_ids, exc_blocks)."""
+    base u32 (chunk-sorted, plane-major then band-major per superblock),
+    resid u32 (COMPACTED banded sorted-prefix planes — exactly ccnt_j
+    words per band, the wire layout), exc_ids, exc_blocks)."""
     n = symbols.shape[0]
     npad = _pad_to(n, sb)
     s = np.zeros(npad, np.int64)
@@ -732,17 +855,19 @@ def np_encode(symbols: np.ndarray, K: int, E: int, sb: int = SB_BLOCKS_SMALL,
     for sbi in range(NB // sb):
         lo, hi = sbi * sb, (sbi + 1) * sb
         crl_sb = crl[sbi * sbc : (sbi + 1) * sbc].astype(np.int32)
-        # stable descending sort of CHUNKS; blocks follow their chunk in
-        # natural within-chunk order
+        # stable descending sort of CHUNKS; banded layout: plane words
+        # grouped by block slot b within the chunk (C bands per plane)
         order_c = np.argsort(-crl_sb, kind="stable")
-        order = (order_c[:, None] * C + np.arange(C)[None, :]).reshape(-1)
+        # plane_sb[j, b, c'] = plane-j word of block slot b of sorted chunk c'
+        plane_sb = (
+            planes[:, lo:hi].reshape(-1, sbc, C).transpose(0, 2, 1)[:, :, order_c]
+        )
         if K:
-            bases.append(planes[:K, lo:hi][:, order].reshape(-1))
+            bases.append(plane_sb[:K].reshape(-1))
         for j in range(E):
             ccnt_j = int((crl_sb > j).sum())
-            row = planes[K + j, lo:hi][order[: ccnt_j * C]]
-            pad = (-ccnt_j * C) % LANES
-            resid.append(np.concatenate([row, np.zeros(pad, np.uint32)]))
+            for b in range(C):
+                resid.append(plane_sb[K + j, b, :ccnt_j])
     base = np.concatenate(bases) if bases else np.zeros(0, np.uint32)
     resid = np.concatenate(resid) if resid else np.zeros(0, np.uint32)
     exc_ids = np.nonzero(exc_mask)[0].astype(np.uint32)

@@ -111,7 +111,10 @@ def main():
     assert int(out[6]) <= exc_cap, "exception bucket overflow in bench"
     rec, t_d = timed(decomp, out[0], out[1], out[2], out[4], out[5], quant)
     err = float(jnp.max(jnp.abs(rec - vj)))
-    wpb = (int(out[3]) * 128 + K * NB + NB / 8) / NB
+    # compacted wire words (serialize strips band row padding): each chunk
+    # ships one word per band (CHUNK) per active residual plane (crl)
+    resid_w = bfp.CHUNK * int(np.asarray(out[1], np.int64).sum())
+    wpb = (resid_w + K * NB + NB / 8) / NB
     print(f"5D compress {nbytes/t_c/1e9:.2f} GB/s, decompress "
           f"{nbytes/t_d/1e9:.2f} GB/s, combined "
           f"{2*nbytes/(t_c+t_d)/1e9:.2f} GB/s, ratio~{32/wpb:.2f}, "

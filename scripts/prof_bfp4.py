@@ -95,7 +95,8 @@ def main(n=512):
     out, t_e = timed("C encode_core full", lambda s: bfp.encode_core(
         s, K, E, sb, 8192, on_tpu), symp)
     base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
-    wpb = (int(resid_rows) * 128 + K * NB + NB / 4) / NB
+    resid_w = bfp.CHUNK * int(np.asarray(rl, np.int64).sum())  # compacted wire
+    wpb = (resid_w + K * NB + NB / 4) / NB
     print(f"# words/block {wpb:.2f} (approx ratio {32/wpb:.2f}), "
           f"exceptions {int(exc_count)}")
 

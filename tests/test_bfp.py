@@ -72,10 +72,10 @@ def test_format_matches_numpy_reference():
     sym = (rng.standard_normal(4096) * 30).astype(np.int32)
     sym[17] = 2**29  # force one exception block
     blob = bfp.encode(sym)
-    magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(bfp._HDR, blob, 0)
+    magic, n, resid_words, K, E, sb, C, cnt = struct.unpack_from(bfp._HDR, blob, 0)
     assert magic == bfp._MAGIC and n == sym.size and cnt >= 1
     crl, base, resid, exc_ids, exc_blocks = bfp.np_encode(sym, K, E, sb, C)
-    total = resid_rows * 128
+    total = resid_words
     p = struct.calcsize(bfp._HDR)
     NB = bfp._pad_to(n, sb) // 32
     NC = NB // C
