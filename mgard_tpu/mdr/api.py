@@ -238,10 +238,7 @@ def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool
         dec = decompose(v, hier, orthogonal=orthogonal)
         out = []
         for l in range(L + 1):
-            stream = interleave_level(dec, hier, l, interleaver)
-            pad = (-stream.shape[0]) % bitplane.LANES
-            if pad:
-                stream = jnp.concatenate([stream, jnp.zeros((pad,), stream.dtype)])
+            stream = bitplane.pad_stream(interleave_level(dec, hier, l, interleaver))
             out.append(enc(stream, B))
         return out
 
@@ -296,6 +293,9 @@ def MDRefactor(
                     row.append(None)
             dispatched.append(row)
     for l, (planes, exp, err_max, err_sq) in enumerate(results):
+        err_max, err_sq = bitplane.scale_tables(
+            err_max, err_sq, int(exp), B, negabinary
+        )
         planes_h = np.asarray(planes)  # (B+1 or B, m) uint32
         n = level_num_elems(hier, l)
         sizes, raws, blobs = [], [], []
@@ -425,7 +425,7 @@ def MDReconstruct(
     exps = []
     for l, lm in enumerate(meta.levels):
         b = counts[l]
-        m = (lm.n + bitplane.LANES - 1) // bitplane.LANES
+        m = bitplane.padded_words(lm.n)
         # a level with no requested planes contributes nothing (its plane
         # blobs may not even have been retrieved)
         nrows = (sr + b) if b > 0 else 0

@@ -85,10 +85,7 @@ def MDRefactorSharded(
         dec = decompose(v, hier, orthogonal=orthogonal)
         outs = []
         for l in range(L + 1):
-            stream = interleave_level(dec, hier, l, interleaver)
-            pad = (-stream.shape[0]) % bitplane.LANES
-            if pad:
-                stream = jnp.concatenate([stream, jnp.zeros((pad,), stream.dtype)])
+            stream = bitplane.pad_stream(interleave_level(dec, hier, l, interleaver))
             planes, exp, err_max, err_sq = enc(stream, B)
             outs.append((planes[None], exp[None], err_max[None], err_sq[None]))
         return tuple(outs), gmin[None], gmax[None]
@@ -129,11 +126,11 @@ def MDRefactorSharded(
                 blobs.append(best)
                 sizes_l.append(len(best))
                 raws.append(codec)
+            em, es = bitplane.scale_tables(
+                err_max[d], err_sq[d], int(exp[d]), B, negabinary
+            )
             levels.append(
-                LevelMetadata(
-                    int(exp[d]), n, sizes_l, raws,
-                    np.asarray(err_max[d]), np.asarray(err_sq[d]),
-                )
+                LevelMetadata(int(exp[d]), n, sizes_l, raws, em, es)
             )
             blobs_all.append(blobs)
         metas.append(
@@ -189,7 +186,7 @@ def MDReconstructSharded(
     planes_list, exps = [], np.zeros((S, len(meta0.levels)), np.int32)
     for l, lm in enumerate(meta0.levels):
         b = counts[l]
-        m = (lm.n + bitplane.LANES - 1) // bitplane.LANES
+        m = bitplane.padded_words(lm.n)
         nrows = (sr + b) if b > 0 else 0
         stack = np.zeros((S, nrows, m), np.uint32)
         for d in range(S):

@@ -57,13 +57,7 @@ def main(n=384):
     streams = timed("2 interleave all levels", k_int, dec)
 
     def pad_streams(streams):
-        out = []
-        for s in streams:
-            pad = (-s.shape[0]) % bitplane.LANES
-            if pad:
-                s = jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
-            out.append(s)
-        return out
+        return [bitplane.pad_stream(s) for s in streams]
 
     padded = jax.jit(pad_streams)(streams)
 
@@ -86,10 +80,7 @@ def main(n=384):
         dec = decompose(v, hier, orthogonal=True)
         out = []
         for l in range(L + 1):
-            s = interleave_level(dec, hier, l, 0)
-            pad = (-s.shape[0]) % bitplane.LANES
-            if pad:
-                s = jnp.concatenate([s, jnp.zeros((pad,), s.dtype)])
+            s = bitplane.pad_stream(interleave_level(dec, hier, l, 0))
             out.append(bitplane.encode_kernel(s, B))
         return out
 

@@ -73,6 +73,38 @@ def test_error_tables_match_actual():
         assert np.isclose(actual, float(err_max[b]), rtol=1e-12), (b, actual, err_max[b])
 
 
+def test_bitplane_extreme_magnitudes():
+    """Error tables must stay finite upper bounds for data whose squared
+    errors exceed the f32-pair range of TPU-emulated float64 (amax ~1e30,
+    physical err_sq ~1e61): the device kernels return unit-space tables and
+    scale_tables converts on host (regression for the r4 NaN overflow)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    f32 = np.float32
+    v = np.concatenate(
+        [
+            rng.standard_normal(1024 - 8).astype(f32) * 7.3,
+            np.array([0, -0.0, 1e-38, -1e-38, 2, -4, 1e30, -1e30], f32),
+        ]
+    )
+    for B in (16, 32):
+        planes, exp, err_max, err_sq, n = bitplane.encode_level(
+            jnp.asarray(v), B
+        )
+        assert np.isfinite(err_max).all() and np.isfinite(err_sq).all()
+        for b in (B // 2, B):
+            rec = np.asarray(
+                bitplane.decode_level(
+                    np.asarray(planes)[: 1 + b], exp, B, b, n
+                )
+            ).astype(np.float64)
+            err = np.max(np.abs(rec - v.astype(np.float64)))
+            sq = float(np.sum((rec - v.astype(np.float64)) ** 2))
+            assert err <= float(err_max[b]) * (1 + 1e-9), (B, b)
+            assert sq <= float(err_sq[b]) * (1 + 1e-6), (B, b)
+
+
 @pytest.mark.parametrize("shape", [(65,), (33, 33)])
 def test_progressive_bound_holds(shape):
     v = smooth(shape)
