@@ -432,17 +432,41 @@ def _group_perm_matrix(Z: int):
     return P
 
 
+def _rem_select_matrix(Z: int, nl: int):
+    """(Z, Z//8*k) 0/1 selection matrix pulling each 8-run's remainder
+    columns out of the lane axis. Lane-axis strided slicing is not
+    Mosaic-lowerable, but a selection matmul on the MXU is — and 0/1
+    matmuls are exact at HIGHEST precision."""
+    cols = _rem_cols(nl)
+    k = len(cols)
+    S = np.zeros((Z, Z // 8 * k), np.float32)
+    for g in range(Z // 8):
+        for i, c in enumerate(cols):
+            S[8 * g + c, g * k + i] = 1.0
+    return S
+
+
 def _fwd_kernel_v2_body(nl, C, H, Z):
     CL = C * 32  # lanes per chunk
 
-    def kernel(q_ref, P_ref, v_ref, pay_ref, rem_ref, *cw_refs):
+    def kernel(q_ref, P_ref, S_ref, v_ref, pay_ref, rem_ref, *cw_refs):
         import jax
         import jax.numpy as jnp
 
         v = v_ref[...]
         D = v.ndim
         dec = local_decompose(v, nl)
-        rem_ref[...] = extract_remainder(dec, nl, axes=range(D - 1))
+        # leading axes extract in VMEM; the LANE axis via the selection
+        # matmul (strided lane slices don't lower; 0/1 matmul is exact)
+        rem_lead = extract_remainder(dec, nl, axes=range(D - 1))
+        lead_r = 1
+        for t in rem_lead.shape[:-1]:
+            lead_r *= t
+        rem_ref[...] = jax.lax.dot_general(
+            rem_lead.reshape(lead_r, Z), S_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(rem_ref.shape)
         cf = jnp.where(
             corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec
         )
@@ -528,14 +552,16 @@ def local_transform_fused_v2(v, inv_q, nl: int, C: int):
     H = Z // CL
     grid = tuple(s // t for s, t in zip(shape, tile))
     k = len(_rem_cols(nl))
-    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
-    rem_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+    ZR = Z // 8 * k
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (ZR,)
+    rem_shape = tuple(s // 8 * k for s in shape[:-1]) + (ZR,)
     cw_tile = (tile[0], tile[1])
     cw_shape = (shape[0], shape[1])
 
     import jax.numpy as jnp
 
     P = _group_perm_matrix(Z)
+    S = _rem_select_matrix(Z, nl)
     outs = pl.pallas_call(
         _fwd_kernel_v2_body(nl, C, H, Z),
         grid_spec=pl.GridSpec(
@@ -544,6 +570,8 @@ def local_transform_fused_v2(v, inv_q, nl: int, C: int):
                 pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((Z, Z), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Z, ZR), lambda *a: (a[0] * 0,) * 2,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
             ],
@@ -565,10 +593,9 @@ def local_transform_fused_v2(v, inv_q, nl: int, C: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(inv_q.reshape(1, 1), jnp.asarray(P), v)
-    pay, rem_part = outs[0], outs[1]
+    )(inv_q.reshape(1, 1), jnp.asarray(P), jnp.asarray(S), v)
+    pay, rem = outs[0], outs[1]
     cws = outs[2:]
-    rem = extract_remainder(rem_part, nl, axes=(len(shape) - 1,))
     # natural chunk order = (x, y, h): stack the H per-half planes on a new
     # minor axis and ravel (tiny arrays)
     cw = jnp.stack(cws, axis=-1).reshape(-1)
@@ -576,7 +603,7 @@ def local_transform_fused_v2(v, inv_q, nl: int, C: int):
 
 
 def _inv_kernel_v2_body(nl, Z):
-    def kernel(q_ref, Pt_ref, zz_ref, rem_ref, out_ref):
+    def kernel(q_ref, Pt_ref, St_ref, zz_ref, rem_ref, out_ref):
         import jax
         import jax.numpy as jnp
 
@@ -593,7 +620,18 @@ def _inv_kernel_v2_body(nl, Z):
             precision=jax.lax.Precision.HIGHEST,
         ).reshape(cf_g.shape)
         D = cf.ndim
-        rem_full = insert_remainder(cf, rem_ref[...], nl, axes=range(D - 1))
+        # lane-axis remainder expansion via S^T (exact 0/1 matmul; the
+        # mirror of the forward kernel's in-kernel extraction)
+        rem_c = rem_ref[...]
+        lead_r = 1
+        for t in rem_c.shape[:-1]:
+            lead_r *= t
+        rem_lane = jax.lax.dot_general(
+            rem_c.reshape(lead_r, rem_c.shape[-1]), St_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(rem_c.shape[:-1] + (Z,))
+        rem_full = insert_remainder(cf, rem_lane, nl, axes=range(D - 1))
         out_ref[...] = local_recompose(rem_full, nl)
 
     return kernel
@@ -610,15 +648,13 @@ def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
     Z = shape[-1]
     grid = tuple(s // t for s, t in zip(shape, tile))
     k = len(_rem_cols(nl))
-    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (tile[-1],)
-    part_shape = tuple(s // 8 * k for s in shape[:-1]) + (shape[-1],)
+    ZR = Z // 8 * k
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (ZR,)
 
     import jax.numpy as jnp
 
-    zeros = jnp.zeros(part_shape, rem.dtype)
-    rem_exp = insert_remainder(zeros, rem, nl, axes=(len(shape) - 1,),
-                               mask_select=False)
     Pt = _group_perm_matrix(Z).T.copy()
+    St = _rem_select_matrix(Z, nl).T.copy()
     return pl.pallas_call(
         _inv_kernel_v2_body(nl, Z),
         grid_spec=pl.GridSpec(
@@ -627,6 +663,8 @@ def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
                 pl.BlockSpec((1, 1), lambda *a: (a[0] * 0,) * 2,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((Z, Z), lambda *a: (a[0] * 0,) * 2,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ZR, Z), lambda *a: (a[0] * 0,) * 2,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(tile, lambda *a: a, memory_space=pltpu.VMEM),
                 pl.BlockSpec(rem_tile, lambda *a: a, memory_space=pltpu.VMEM),
@@ -639,7 +677,7 @@ def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q.reshape(1, 1), jnp.asarray(Pt), zz_u16, rem_exp)[0]
+    )(q.reshape(1, 1), jnp.asarray(Pt), jnp.asarray(St), zz_u16, rem)[0]
 
 
 def hybrid_l_total(shape, num_levels: int, rem_hier: Hierarchy) -> int:

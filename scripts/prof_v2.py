@@ -11,7 +11,7 @@ import time
 import numpy as np
 
 
-def main(n=512):
+def main(n=512, chunk=0):
     import jax
     import jax.numpy as jnp
 
@@ -32,7 +32,7 @@ def main(n=512):
     quant = jnp.asarray(q, jnp.float32)
     v = make_field(n)
     nbytes = n**3 * 4
-    C = bfp.CHUNK
+    C = chunk or bfp.CHUNK
     E = bfp.E_DEFAULT
     sb = bfp.SB_BLOCKS
     N = n**3
@@ -151,4 +151,11 @@ def main(n=512):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 512)
+    n = 512
+    chunk = 0
+    for a in sys.argv[1:]:
+        if a.startswith("--n="):
+            n = int(a.split("=")[1])
+        if a.startswith("--chunk="):
+            chunk = int(a.split("=")[1])
+    main(n, chunk)
