@@ -333,3 +333,39 @@ def test_interleaver_persisted_in_header(tmp_path):
     write_mdr(pth, meta, data)
     m2, _ = read_mdr_metadata(pth)
     assert m2.interleaver == 1
+
+
+def test_int_quantize_matches_f64_oracle():
+    """_int_quantize_f32 (pure IEEE-754 bit manipulation) must equal the
+    f64 oracle: mag = round-half-away(|v| * 2^(frac-exp)) clamped, and the
+    residue remi*2^-kc must equal p - mag exactly whenever kc < 31."""
+    import jax.numpy as jnp
+
+    from mgard_tpu.mdr.bitplane import _int_quantize_f32, _residue_f32
+
+    rng = np.random.default_rng(5)
+    v = np.concatenate(
+        [
+            rng.standard_normal(4096)
+            * 10.0 ** rng.integers(-8, 8, 4096).astype(np.float64),
+            np.array([0.0, -0.0, 1.0, -1.0, 0.5, 2.0**-126, 65504.0]),
+        ]
+    ).astype(np.float32)
+    B = 24
+    exp = 30  # covers sh<0 and sh>=0 regimes across the magnitudes
+    mag, remi, kc, sign = (
+        np.asarray(x)
+        for x in _int_quantize_f32(jnp.asarray(v), jnp.int32(exp), B - 1, 2 ** (B - 1) - 1)
+    )
+    r = np.asarray(_residue_f32(jnp.asarray(remi), jnp.asarray(kc)))
+    p = np.abs(v.astype(np.float64)) * 2.0 ** ((B - 1) - exp)
+    mag_ref = np.minimum(np.floor(p + 0.5), 2 ** (B - 1) - 1)
+    assert np.array_equal(mag, mag_ref.astype(np.uint32))
+    assert np.array_equal(sign == 1, np.signbit(v))
+    exact = kc < 31
+    np.testing.assert_array_equal(
+        (r.astype(np.float64))[exact], (p - mag_ref)[exact]
+    )
+    # clamped-scale residues still dominate the true residue magnitude
+    over = ~exact
+    assert np.all(np.abs(r[over]) >= np.abs(p - mag_ref)[over] - 1e-30)
