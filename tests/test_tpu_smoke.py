@@ -63,3 +63,46 @@ def test_s_norm_on_device():
     l2 = np.sqrt(np.mean((out - v).astype(np.float64) ** 2))
     l2v = np.sqrt(np.mean(v.astype(np.float64) ** 2))
     assert l2 <= 1e-3 * l2v
+
+
+def test_bfp_mxu_sort_matches_gather_path():
+    """The in-kernel MXU width sort (bf16 permutation matmuls inside the
+    pack/unpack kernels) must produce byte-identical streams to the
+    external-gather path, and decode must return natural order."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgard_tpu.lossless import bfp
+
+    rng = np.random.default_rng(11)
+    C = 16
+    sb = bfp.SB_BLOCKS
+    K, E = 4, 8
+    NB = 4 * sb  # 4 superblocks
+    NC = NB // C
+    # zigzag u16 rows with width <= K+E and varied per-chunk widths
+    widths = rng.integers(0, K + E + 1, NC)
+    rows = (
+        rng.integers(0, 2, (NC, C * 32), np.uint32)
+        * ((1 << np.maximum(widths, 1)) - 1)[:, None]
+    ).astype(np.uint16)
+    crl = jnp.asarray(np.clip(widths - K, 0, E), jnp.int32)
+    pay16 = jnp.asarray(rows)
+
+    base_m, resid_m, rr_m = jax.jit(
+        lambda p, c: bfp.encode_core_zz(p, c, K, E, sb, True, C)
+    )(pay16, crl)
+    # force the gather path by feeding u32 (same values)
+    base_g, resid_g, rr_g = jax.jit(
+        lambda p, c: bfp.encode_core_zz(p, c, K, E, sb, True, C)
+    )(pay16.astype(jnp.uint32), crl)
+    rows_used = int(rr_m)
+    assert rows_used == int(rr_g)
+    assert np.array_equal(np.asarray(base_m), np.asarray(base_g))
+    assert np.array_equal(
+        np.asarray(resid_m)[:rows_used], np.asarray(resid_g)[:rows_used]
+    )
+    dec = jax.jit(
+        lambda b, c, r: bfp.decode_core_zz(b, c, r, K, E, sb, True, NB, C)
+    )(base_m, crl, resid_m)
+    assert np.array_equal(np.asarray(dec), rows)
