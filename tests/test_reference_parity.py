@@ -162,13 +162,16 @@ def test_error_parity_with_reference(entry):
 
 @pytest.mark.parametrize("tag", ["3d9x9x17_f64", "3d15x16x17_f64"])
 def test_size_parity_with_reference(tag):
-    """Compressed size within 2x of the reference at the 3D golden points
-    (ratio parity on the reference's own data)."""
+    """Compressed size must not exceed the reference's at the 3D golden
+    points (ratio parity on the reference's own data). Measured margins
+    (2026-08-18, CPU): ours is 0.64-0.75x of the reference blob at every
+    (tag, tol) grid point, so 1.0x + 512 B header slack is a real bar, not
+    a formality."""
     entries = [e for e in _manifest() if e.get("tag") == tag and e["s"] == "inf"]
     v, shape, dt = _load(tag)
     for e in entries:
         blob, st = mgard_tpu.compress(v, tol=float(e["tol"]), s=math.inf)
         assert int(st) == 0
-        assert len(blob) <= 2.0 * e["size"] + 2048, (
+        assert len(blob) <= 1.0 * e["size"] + 512, (
             f"size {len(blob)} vs reference {e['size']} at tol {e['tol']}"
         )
