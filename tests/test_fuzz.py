@@ -1,0 +1,104 @@
+"""Structured corruption fuzz of the self-describing stream readers.
+
+Contract under test (reference parity: mgard::decompress returns an error
+status for malformed buffers rather than crashing —
+/root/reference/src/mgard/compress_internal.cpp:5-13 sniffing plus the
+catch-all translation in compress_x.hpp:109-154): for ANY truncated or
+byte-flipped input, `mgard_tpu.decompress` must return (out, status)
+without raising, and a Success status must come with an output of the
+original shape/dtype. Wrong DATA under payload corruption is permitted
+(the CRC covers the header, not the payload — same as the reference);
+uncaught parser exceptions, index crashes, or hangs are not.
+"""
+
+import numpy as np
+import pytest
+
+import mgard_tpu
+from mgard_tpu.dtypes import compress_status_type, lossless_type
+
+
+def _blob(lossless=lossless_type.BFP):
+    rng = np.random.default_rng(7)
+    x = np.linspace(0, 1, 40, dtype=np.float32)
+    v = (
+        np.sin(2 * np.pi * x)[:, None, None]
+        + np.cos(3 * np.pi * x)[None, :, None] * x[None, None, :]
+        + 0.01 * rng.standard_normal((40, 40, 40)).astype(np.float32)
+    )
+    cfg = mgard_tpu.Config()
+    cfg.lossless = lossless
+    blob, st = mgard_tpu.compress(v, tol=1e-3, config=cfg)
+    assert int(st) == 0
+    return bytes(blob), v
+
+
+@pytest.fixture(scope="module")
+def blob_and_field():
+    return _blob()
+
+
+def _check(data: bytes, shape, dtype):
+    out, st = mgard_tpu.decompress(data)
+    if st == compress_status_type.Success:
+        assert out is not None and out.shape == shape and out.dtype == dtype
+    else:
+        assert out is None
+
+
+def test_truncation_sweep(blob_and_field):
+    """Every prefix of the stream parses to a clean Failure (or a
+    well-formed Success for trailing-slack truncations), never a crash."""
+    blob, v = blob_and_field
+    n = len(blob)
+    # dense near the header, stepped through the payload, dense at the tail
+    points = sorted(
+        set(
+            list(range(0, min(96, n)))
+            + list(range(96, n, max(1, n // 24)))
+            + list(range(max(0, n - 8), n))
+        )
+    )
+    for L in points:
+        _check(blob[:L], v.shape, v.dtype)
+
+
+def test_byte_flip_sweep(blob_and_field):
+    """Single-byte flips spread across the whole stream (seeded): header
+    flips must be caught by the CRC; payload flips may decode to wrong data
+    but must not raise or hang."""
+    blob, v = blob_and_field
+    n = len(blob)
+    rng = np.random.default_rng(42)
+    positions = sorted(set(rng.integers(0, n, 24).tolist()) | {0, 1, 8, n - 1})
+    for pos in positions:
+        bad = bytearray(blob)
+        bad[pos] ^= 0xA5
+        _check(bytes(bad), v.shape, v.dtype)
+
+
+def test_header_flip_is_detected(blob_and_field):
+    """A flip INSIDE the metadata header region must yield Failure, not a
+    silently mis-parsed stream (CRC32 coverage)."""
+    blob, v = blob_and_field
+    for pos in (12, 20, 33, 47):
+        bad = bytearray(blob)
+        bad[pos] ^= 0xFF
+        out, st = mgard_tpu.decompress(bytes(bad))
+        assert st != compress_status_type.Success
+
+
+def test_empty_and_garbage():
+    for data in (b"", b"\x00", b"not a stream at all" * 4, b"\xff" * 4096):
+        out, st = mgard_tpu.decompress(data)
+        assert st != compress_status_type.Success and out is None
+
+
+@pytest.mark.parametrize(
+    "lossless", [lossless_type.BFX, lossless_type.Huffman]
+)
+def test_truncation_other_backends(lossless):
+    blob, v = _blob(lossless)
+    n = len(blob)
+    for L in range(0, n, max(1, n // 12)):
+        _check(blob[:L], v.shape, v.dtype)
