@@ -58,7 +58,8 @@ def make_field(n: int):
     return gen()
 
 
-def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0):
+def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
+        sb: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +82,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0):
     n_rem = int(np.prod(rem_hier.shape))
     C = chunk or H._pick_v2_chunk(padded, cfg)  # production pick (16 at 512^3)
     E = bfp.E_DEFAULT
-    sb = bfp.SB_BLOCKS
+    sb = sb or bfp.SB_BLOCKS
     assert H._hybrid_v2_ok(padded, np.float32, cfg), "v2 gate must pass at 512^3"
     NB = N // 32
     NC = NB // C
@@ -210,9 +211,12 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0):
 if __name__ == "__main__":
     n = 512
     chunk = 0
+    sb = 0
     for a in sys.argv[1:]:
         if a.startswith("--n="):
             n = int(a.split("=")[1])
         if a.startswith("--chunk="):
             chunk = int(a.split("=")[1])
-    run(n, chunk=chunk)
+        if a.startswith("--sb="):
+            sb = int(a.split("=")[1])
+    run(n, chunk=chunk, sb=sb)

@@ -304,7 +304,12 @@ def _decompress_core_hybrid_v2(zz_rows, rem_sym, q_scalar, shape, padded, nl,
     rem_dec = (rem_sym.astype(work) * q).reshape(rem_hier.shape)
     rem = recompose(rem_dec, rem_hier, orthogonal=False)
     pay = zz_rows.reshape(padded)
-    out = Hy.local_inverse_fused_v2(pay, rem, q, nl, work)
+    # fused Pallas kernel on TPU; plain-XLA path elsewhere so a host
+    # without the TPU Pallas backend can still decode v2 streams
+    out = (Hy.local_inverse_fused_v2(pay, rem, q, nl, work)
+           if jax.default_backend() == "tpu" else None)
+    if out is None:
+        out = Hy.local_inverse_v2_xla(pay, rem, q, nl, work)
     return out[tuple(slice(0, s) for s in shape)]
 
 

@@ -446,6 +446,30 @@ def _rem_select_matrix(Z: int, nl: int):
     return S
 
 
+def _permute_u16_mxu(flat_i32, P_bf16):
+    """Permute (lead, Z) i32 rows (values <= 0xFFFF) along the LANE axis by
+    a 0/1 permutation matrix on the MXU, as two exact hi/lo byte bf16
+    matmuls (the lossless/bfp.py _sort_mxu trick, applied column-wise).
+    Integers <= 255 are exact in bf16 and each output element is exactly
+    one input element, so the result is bit-exact at ONE bf16 pass per
+    byte — vs the ~6 bf16 passes a Precision.HIGHEST f32 matmul costs."""
+    import jax
+    import jax.numpy as jnp
+
+    hi = jax.lax.shift_right_logical(flat_i32, jnp.int32(8)).astype(
+        jnp.bfloat16
+    )
+    lo = jnp.bitwise_and(flat_i32, jnp.int32(0xFF)).astype(jnp.bfloat16)
+    dn = (((1,), (0,)), ((), ()))
+    gh = jax.lax.dot_general(hi, P_bf16, dn,
+                             preferred_element_type=jnp.float32)
+    gl = jax.lax.dot_general(lo, P_bf16, dn,
+                             preferred_element_type=jnp.float32)
+    return jax.lax.shift_left(
+        gh.astype(jnp.int32), jnp.int32(8)
+    ) | gl.astype(jnp.int32)
+
+
 def _fwd_kernel_v2_body(nl, C, H, Z):
     CL = C * 32  # lanes per chunk
 
@@ -470,34 +494,39 @@ def _fwd_kernel_v2_body(nl, C, H, Z):
         cf = jnp.where(
             corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec
         )
-        lead = 1
-        for s in cf.shape[:-1]:
-            lead *= s
-        flat = cf.reshape(lead, Z)
-        grouped = jax.lax.dot_general(
-            flat, P_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # quantize + zigzag FIRST (elementwise — commutes with the group
+        # permutation), then permute the u16 integers with exact byte
+        # matmuls: 2 bf16 MXU passes instead of the 6 a HIGHEST-precision
+        # f32 permutation needs
         inv_q = q_ref[0, 0]
-        t = grouped * inv_q
+        t = cf * inv_q
         half = jnp.asarray(0.5, t.dtype)
         sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
         # zigzag kept in i32 (Mosaic has no unsigned reductions); the bit
         # pattern is identical to the u32 zigzag
         zz = (sym << 1) ^ (sym >> 31)
+        # tile-level overflow flag: any symbol over the u16 budget (bit 31
+        # set reads negative; anything > 0xFFFF is over) poisons every
+        # chunk width in the tile to 32 so the caller takes the legacy
+        # path — same contract as the old per-chunk width-from-i32 check
+        over = (jnp.min(zz) < 0) | (jnp.max(zz) > jnp.int32(0xFFFF))
+        lead = 1
+        for s in cf.shape[:-1]:
+            lead *= s
+        grouped = _permute_u16_mxu(
+            zz.reshape(lead, Z) & jnp.int32(0xFFFF), P_ref[...]
+        )
         # widths on the tile-shaped view (minor dim unchanged by the
         # reshape; a (lead, 1) -> (8, m) reshape would change the lane dim,
         # which Mosaic cannot lower)
-        zz3 = zz.reshape(pay_ref.shape)
+        zz3 = grouped.reshape(pay_ref.shape)
         for h in range(H):
             blkv = zz3[..., h * CL : (h + 1) * CL]
             mx = jnp.max(blkv, axis=-1)
-            mn = jnp.min(blkv, axis=-1)
             w = 32 - jax.lax.clz(mx)
-            # a zigzag value with bit 31 set reads negative in i32: its
-            # true width is 32 (over the u16 budget -> caller falls back)
             cw_refs[h][...] = jnp.where(
-                mn < 0, jnp.int32(32), jnp.where(mx == 0, jnp.int32(0), w)
+                over, jnp.int32(32),
+                jnp.where(mx == 0, jnp.int32(0), w),
             ).astype(jnp.int32)
         pay_ref[...] = (zz3 & jnp.int32(0xFFFF)).astype(jnp.uint16)
 
@@ -536,11 +565,13 @@ def _tile_shape_v2(shape, vmem_budget_elems=1 << 19):
     return tuple(t)
 
 
-def local_transform_fused_v2(v, inv_q, nl: int, C: int):
+def local_transform_fused_v2(v, inv_q, nl: int, C: int,
+                             interpret: bool = False):
     """One-pass cf front-end. Returns (payload u16 shape(v) [zclass-grouped
     zigzag symbols], cw (NC,) i32 [true u32 chunk widths — width > 16 means
     the u16 payload truncated that chunk: caller must fall back], rem).
-    None when the shape doesn't fit the scheme."""
+    None when the shape doesn't fit the scheme. interpret=True runs the
+    kernel in Pallas interpret mode (CPU kernel-parity tests)."""
     shape = v.shape
     tile = _tile_shape_v2(shape)
     if tile is None or not _HAVE_PALLAS:
@@ -593,7 +624,8 @@ def local_transform_fused_v2(v, inv_q, nl: int, C: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(inv_q.reshape(1, 1), jnp.asarray(P), jnp.asarray(S), v)
+        interpret=interpret,
+    )(inv_q.reshape(1, 1), jnp.asarray(P, jnp.bfloat16), jnp.asarray(S), v)
     pay, rem = outs[0], outs[1]
     cws = outs[2:]
     # natural chunk order = (x, y, h): stack the H per-half planes on a new
@@ -607,18 +639,20 @@ def _inv_kernel_v2_body(nl, Z):
         import jax
         import jax.numpy as jnp
 
-        zz = zz_ref[...].astype(jnp.uint32)
-        sym = (zz >> 1).astype(jnp.int32) ^ -(zz & 1).astype(jnp.int32)
-        q = q_ref[0, 0]
-        cf_g = sym.astype(q.dtype) * q
+        # un-group the u16 zigzag integers with exact byte matmuls (2 bf16
+        # MXU passes) BEFORE un-zigzag/dequantize — the mirror of the
+        # forward kernel's integer-domain permutation
+        zz_g = jax.lax.bitcast_convert_type(
+            zz_ref[...].astype(jnp.uint32), jnp.int32
+        )
+        shp = zz_g.shape
         lead = 1
-        for s in cf_g.shape[:-1]:
+        for s in shp[:-1]:
             lead *= s
-        flat = cf_g.reshape(lead, Z)
-        cf = jax.lax.dot_general(
-            flat, Pt_ref[...], (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        ).reshape(cf_g.shape)
+        zz = _permute_u16_mxu(zz_g.reshape(lead, Z), Pt_ref[...]).reshape(shp)
+        sym = (zz >> 1) ^ -(zz & jnp.int32(1))
+        q = q_ref[0, 0]
+        cf = sym.astype(q.dtype) * q
         D = cf.ndim
         # lane-axis remainder expansion via S^T (exact 0/1 matmul; the
         # mirror of the forward kernel's in-kernel extraction)
@@ -637,10 +671,11 @@ def _inv_kernel_v2_body(nl, Z):
     return kernel
 
 
-def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
+def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype,
+                           interpret: bool = False):
     """Inverse of local_transform_fused_v2: u16 grouped zigzag payload ->
-    field. Un-zigzag + dequantize + ungroup (P^T matmul) + corner insert +
-    local recompose in one pass."""
+    field. Ungroup (exact byte-matmul P^T) + un-zigzag + dequantize +
+    corner insert + local recompose in one pass."""
     shape = zz_u16.shape
     tile = _tile_shape_v2(shape)
     if tile is None or not _HAVE_PALLAS:
@@ -677,7 +712,54 @@ def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-    )(q.reshape(1, 1), jnp.asarray(Pt), jnp.asarray(St), zz_u16, rem)[0]
+        interpret=interpret,
+    )(q.reshape(1, 1), jnp.asarray(Pt, jnp.bfloat16), jnp.asarray(St),
+      zz_u16, rem)[0]
+
+
+def local_transform_v2_xla(v, inv_q, nl: int, C: int):
+    """Plain-XLA oracle for local_transform_fused_v2: bit-identical
+    (payload, cw, rem) via whole-array ops. Used by the CPU test suite to
+    pin the Pallas kernel's output and as the compress-side reference for
+    the wire format."""
+    import jax
+    import jax.numpy as jnp
+
+    Z = v.shape[-1]
+    CL = C * 32
+    H = Z // CL
+    dec = local_decompose(v, nl)
+    rem = extract_remainder(dec, nl)
+    cf = jnp.where(corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec)
+    t = cf * inv_q
+    half = jnp.asarray(0.5, t.dtype)
+    sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+    zz = (sym << 1) ^ (sym >> 31)
+    grouped = zclass_group(zz)
+    g3 = grouped.reshape(v.shape[:-1] + (H, CL))
+    mx = jnp.max(g3, axis=-1)
+    mn = jnp.min(g3, axis=-1)
+    w = 32 - jax.lax.clz(mx)
+    cw = jnp.where(
+        mn < 0, jnp.int32(32), jnp.where(mx == 0, jnp.int32(0), w)
+    ).reshape(-1)
+    pay = (grouped & jnp.int32(0xFFFF)).astype(jnp.uint16)
+    return pay, cw, rem
+
+
+def local_inverse_v2_xla(zz_u16, rem, q, nl: int, dtype):
+    """Plain-XLA inverse of the v2 payload: lets a host WITHOUT the TPU
+    Pallas path (CPU decode of a TPU-written stream) reconstruct v2 blobs,
+    and doubles as the kernel-parity oracle. The reference's CPU/GPU
+    decoders are likewise interchangeable per stream
+    (compress_internal.cpp:5-13 header dispatch)."""
+    import jax.numpy as jnp
+
+    nat = zclass_ungroup(zz_u16.astype(jnp.int32))
+    sym = (nat >> 1) ^ -(nat & jnp.int32(1))
+    cf = sym.astype(dtype) * q
+    full = insert_remainder(cf, rem, nl)
+    return local_recompose(full, nl)
 
 
 def hybrid_l_total(shape, num_levels: int, rem_hier: Hierarchy) -> int:

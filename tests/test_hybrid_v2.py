@@ -1,0 +1,111 @@
+"""Hybrid v2 one-pass front-end: kernel/oracle parity and CPU decode.
+
+The Pallas kernels run in interpret mode on CPU and must match the
+plain-XLA oracles BIT-EXACTLY (the permutation is integer-domain byte
+matmuls; quantize/zigzag are elementwise), and a v2-layout stream must
+decode on a host without the TPU Pallas backend (reference parity: any
+device decodes any stream, compress_internal.cpp:5-13).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import mgard_tpu
+import mgard_tpu.highlevel as H
+from mgard_tpu.hierarchy import get_hierarchy
+from mgard_tpu.ops import hybrid as Hy
+
+
+SHAPE = (16, 16, 128)
+NL = 3
+C = 4  # Z=128 -> chunk rows of C*32=128 lanes tile the axis exactly
+
+
+def _field(shape):
+    rng = np.random.default_rng(3)
+    x = np.linspace(0, 1, shape[0], dtype=np.float32)
+    v = (
+        np.sin(2 * np.pi * x)[:, None, None]
+        * np.cos(np.linspace(0, 3, shape[1], dtype=np.float32))[None, :, None]
+        + np.linspace(-1, 1, shape[2], dtype=np.float32)[None, None, :] ** 2
+        + 0.05 * rng.standard_normal(shape).astype(np.float32)
+    )
+    return jnp.asarray(v)
+
+
+def test_fwd_kernel_matches_xla_oracle():
+    v = _field(SHAPE)
+    inv_q = jnp.float32(1.0 / 1.7e-4)
+    pay_k, cw_k, rem_k = Hy.local_transform_fused_v2(
+        v, inv_q, NL, C, interpret=True
+    )
+    pay_o, cw_o, rem_o = Hy.local_transform_v2_xla(v, inv_q, NL, C)
+    assert int(jnp.max(cw_o)) <= 16, "test field must fit the u16 budget"
+    np.testing.assert_array_equal(np.asarray(pay_k), np.asarray(pay_o))
+    np.testing.assert_array_equal(np.asarray(cw_k), np.asarray(cw_o))
+    np.testing.assert_array_equal(np.asarray(rem_k), np.asarray(rem_o))
+
+
+def test_inv_kernel_matches_xla_oracle_and_roundtrips():
+    v = _field(SHAPE)
+    q = jnp.float32(1.7e-4)
+    pay, cw, rem_c = Hy.local_transform_v2_xla(v, 1.0 / q, NL, C)
+    # reconstruct the remainder field exactly as decompress does
+    rem_hier = get_hierarchy(Hy.remainder_shape(SHAPE, NL), np.float32, None,
+                             mgard_tpu.Config())
+    # compact (all-axes) remainder -> the inverse consumes it directly
+    out_k = Hy.local_inverse_fused_v2(
+        pay, rem_c.reshape(rem_hier.shape), q, NL, jnp.float32,
+        interpret=True,
+    )
+    out_o = Hy.local_inverse_v2_xla(
+        pay, rem_c.reshape(rem_hier.shape), q, NL, jnp.float32
+    )
+    # ulp-class tolerance: the integer permutation/zigzag stages are
+    # bit-exact (verified eagerly); the remaining delta is XLA fma-fusion
+    # variance between the tile-wise kernel graph and the whole-array
+    # oracle graph (~2 ulp at O(1) values)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_o), rtol=0, atol=1e-6
+    )
+    # roundtrip: quantization is the only loss; local levels total NL
+    err = float(jnp.max(jnp.abs(out_o - v)))
+    assert err <= float(q) * (NL + 2), err
+
+
+def test_fwd_overflow_poisons_widths():
+    """Symbols over the u16 budget must force cw > 16 (legacy fallback)."""
+    v = _field(SHAPE) * 1e6
+    inv_q = jnp.float32(1.0 / 1e-6)  # huge symbols
+    _, cw_k, _ = Hy.local_transform_fused_v2(v, inv_q, NL, C, interpret=True)
+    assert int(jnp.max(cw_k)) > 16
+
+
+def test_v2_stream_decodes_without_pallas(monkeypatch):
+    """A v2-layout blob (BFP5 prepared cf stream + rem section) written via
+    the XLA oracle path must decompress through the public API on CPU."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU-only scenario")
+    monkeypatch.setattr(H, "_hybrid_v2_ok", lambda *a, **k: True)
+    monkeypatch.setattr(H, "_pick_v2_chunk", lambda *a, **k: C)
+    monkeypatch.setattr(Hy, "local_transform_fused_v2",
+                        lambda v, iq, nl, c: Hy.local_transform_v2_xla(
+                            v, iq, nl, c))
+    # smallest shape satisfying the v2 stream invariant
+    # (N % (SB_BLOCKS * 32) == 0): one full superblock
+    v = np.asarray(_field((64, 64, 128)))
+    cfg = mgard_tpu.Config()
+    tol = 1e-3
+    blob, st = mgard_tpu.compress(v, tol=tol, config=cfg)
+    assert int(st) == 0
+    # the v2 flag byte must actually be in the stream (not legacy fallback)
+    monkeypatch.undo()
+    out, st2 = mgard_tpu.decompress(blob)
+    assert int(st2) == 0
+    err = float(np.max(np.abs(out.astype(np.float64) - v)))
+    assert err <= tol, err
