@@ -106,3 +106,42 @@ def test_bfp_mxu_sort_matches_gather_path():
         lambda b, c, r: bfp.decode_core_zz(b, c, r, K, E, sb, True, NB, C)
     )(base_m, crl, resid_m)
     assert np.array_equal(np.asarray(dec), rows)
+
+
+def test_hybrid_v2_kernel_matches_oracle_on_device():
+    """The fused v2 kernels (integer byte-matmul group permutation) must
+    match the plain-XLA oracles ON THE REAL DEVICE: payload/cw bit-exact
+    (integer domain throughout), remainder exact (0/1 selection matmul at
+    HIGHEST is exact), inverse within ulp-class fma variance."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgard_tpu.ops import hybrid as Hy
+
+    nl, C = 3, 4
+    shape = (32, 32, 128)
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(
+        _field(shape, np.float32)
+        + 0.05 * rng.standard_normal(shape).astype(np.float32)
+    )
+    q = jnp.float32(1.7e-4)
+    pay_k, cw_k, rem_k = jax.jit(
+        lambda x: Hy.local_transform_fused_v2(x, 1.0 / q, nl, C)
+    )(v)
+    pay_o, cw_o, rem_o = jax.jit(
+        lambda x: Hy.local_transform_v2_xla(x, 1.0 / q, nl, C)
+    )(v)
+    assert int(jnp.max(cw_o)) <= 16
+    assert np.array_equal(np.asarray(pay_k), np.asarray(pay_o))
+    assert np.array_equal(np.asarray(cw_k), np.asarray(cw_o))
+    assert np.array_equal(np.asarray(rem_k), np.asarray(rem_o))
+    out_k = jax.jit(
+        lambda p, r: Hy.local_inverse_fused_v2(p, r, q, nl, jnp.float32)
+    )(pay_k, rem_k)
+    out_o = jax.jit(
+        lambda p, r: Hy.local_inverse_v2_xla(p, r, q, nl, jnp.float32)
+    )(pay_o, rem_o)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_o), rtol=0, atol=1e-6
+    )
