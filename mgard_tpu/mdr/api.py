@@ -46,6 +46,9 @@ _MAGIC = b"MDRTPU2\x00"
 PLANE_RAW = 0
 PLANE_ZLIB = 1
 PLANE_BFX = 2
+# smallest plane (u32 words) worth a device-BFX dispatch; below this the
+# kernel/dispatch overhead exceeds the plane itself
+PLANE_BFX_MIN_WORDS = 8192
 
 
 def decode_plane_blob(blob: bytes, codec: int, m: int) -> np.ndarray:
@@ -286,7 +289,7 @@ def MDRefactor(
         for planes, _exp, _em, _es in results:
             row = []
             for p in range(planes.shape[0]):
-                if planes.shape[1] >= 8192:
+                if planes.shape[1] >= PLANE_BFX_MIN_WORDS:
                     row.append(_bfx.encode_device(
                         jax.lax.bitcast_convert_type(planes[p], jnp.int32)))
                 else:

@@ -28,6 +28,7 @@ from ..config import Config
 from ..dtypes import bitplane_encoding_type, dtype_enum, np_dtype
 from ..hierarchy import get_hierarchy
 from ..mdr import bitplane
+from ..mdr import api as _mdr_api
 from ..mdr.api import (
     DecomposedMDR,
     LevelMetadata,
@@ -106,8 +107,11 @@ def MDRefactorSharded(
     outs, gmins, gmaxs = fn(vs)
 
     # host phase: per-subdomain level compression + metadata (same as the
-    # single-device MDRefactor host tail)
+    # single-device MDRefactor host tail; every codec MDReconstruct's
+    # decode_plane_blob reads must be writable here too — r3 ADVICE #3)
     lvl_codec = getattr(config, "mdr_level_compressor", "zlib")
+    if lvl_codec == "bfx":
+        from ..lossless import bfx as _bfx
     metas, datas, sls_list = [], [], []
     for d in range(n_dev):
         levels, blobs_all = [], []
@@ -123,6 +127,11 @@ def MDRefactorSharded(
                     z = zlib.compress(raw_bytes, 1)
                     if len(z) < len(best):
                         best, codec = z, 1
+                elif (lvl_codec == "bfx"
+                      and planes_h.shape[1] >= _mdr_api.PLANE_BFX_MIN_WORDS):
+                    z = _bfx.encode(planes_h[p].view(np.int32))
+                    if len(z) < len(best):
+                        best, codec = z, 2  # PLANE_BFX
                 blobs.append(best)
                 sizes_l.append(len(best))
                 raws.append(codec)
