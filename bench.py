@@ -151,10 +151,12 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
     ok = err <= tol
     import struct as _struct
 
+    # rem stream rides encode_core with the codec's own CHUNK, not the v2
+    # chunk C — its nibble sidecar and exception blocks size accordingly
     comp_bytes = (
         total_i * 4 + K * NB * 4 + NC // 2          # cf stream
-        + rtotal_i * 4 + Kr * NBr * 4 + (NBr // C) // 2  # rem stream
-        + int(rexc_count) * (4 + C * 32 * 4)
+        + rtotal_i * 4 + Kr * NBr * 4 + (NBr // bfp.CHUNK) // 2  # rem stream
+        + int(rexc_count) * (4 + bfp.CHUNK * 32 * 4)
         + 2 * _struct.calcsize(bfp._HDR)
     )
     ratio = nbytes / comp_bytes

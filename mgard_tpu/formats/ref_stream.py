@@ -56,6 +56,8 @@ def _read_varint(buf: bytes, p: int):
     out = 0
     shift = 0
     while True:
+        if p >= len(buf):
+            raise FormatError("truncated varint in reference header")
         b = buf[p]
         p += 1
         out |= (b & 0x7F) << shift
@@ -305,6 +307,12 @@ def decompress_reference(blob: bytes):
         raise FormatError("unsupported reference domain decomposition method")
 
     out = np.empty(h.shape, h.dtype)
+    # the reference quantizes each subdomain at tol/sqrt(S) for finite-s
+    # bounds (the L2 budget splits over independent subdomains; same rule
+    # as decomposer.calc_local_abs_tol and mgard-x's domain decomposer);
+    # for s=inf the pointwise bound needs no split
+    S = len(sub_shapes)
+    local_tol = h.tol if (s_inf or S == 1) else h.tol / math.sqrt(S)
     p = h.header_bytes
     for shp, sls in zip(sub_shapes, sub_slices):
         (sec_size,) = struct.unpack_from("<Q", blob, p)
@@ -323,7 +331,7 @@ def decompress_reference(blob: bytes):
         )
         hier = get_hierarchy(shp, h.dtype, sub_coords, cfg)
         quant = hier.quantizers(
-            h.tol, h.s, h.norm, h.ebtype,
+            local_tol, h.s, h.norm, h.ebtype,
             orthogonal_projection=orthogonal,
         )
         rec = _decompress_core_sym(

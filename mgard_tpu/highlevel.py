@@ -257,21 +257,41 @@ def _pick_v2_chunk(padded, config: Config) -> int:
     return 1
 
 
+def _v2_sb(config: Config, n_cf: int, C: int) -> int:
+    """Effective BFP superblock for the v2 cf stream: an explicitly-set /
+    autotuned Config.bfp_sb_blocks wins when the stream admits it (the
+    format records sb, so any choice decodes everywhere); otherwise the
+    production default."""
+    from .lossless import bfp as _bfp
+
+    sb = int(getattr(config, "bfp_sb_blocks", 0) or 0)
+    if (sb >= _bfp.SB_PALLAS_MIN and n_cf % (sb * 32) == 0
+            and sb % (C * _bfp.LANES) == 0):
+        return sb
+    return _bfp.SB_BLOCKS
+
+
 def _hybrid_v2_ok(padded, dtype, config: Config) -> bool:
     """Gate for the one-pass cf front-end (ops/hybrid.py v2 kernel +
-    lossless/bfp.py prepared-payload cores)."""
+    lossless/bfp.py prepared-payload cores). An explicit Config.bfp_chunk
+    that breaks the layout invariants fails the gate (clean legacy
+    fallback) instead of crashing inside the encode kernels."""
     from .lossless import bfp as _bfp
     from .ops.hybrid import _tile_shape_v2
 
     C = _pick_v2_chunk(padded, config)
+    n_cf = int(np.prod(padded))
+    sb = _v2_sb(config, n_cf, C)
     return (
         jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
         and config.lossless == lossless_type.BFP
         and bool(config.hybrid_level_grouping)
         and _tile_shape_v2(padded) is not None
+        and C >= 1
         and padded[-1] % (C * 32) == 0
-        and int(np.prod(padded)) % (_bfp.SB_BLOCKS * 32) == 0
+        and sb % (C * _bfp.LANES) == 0
+        and n_cf % (sb * 32) == 0
     )
 
 
@@ -493,10 +513,19 @@ def _serialize_hybrid_v2(st, config: Config) -> bytes:
 
     pay, cw, rem_state, v, hier, q, padded, nl, rem_hier, C = st
     E = int(getattr(config, "bfp_resid_planes", 0) or _bfp.E_DEFAULT)
+    if not 1 <= E <= 15:
+        # residual lengths are serialized as 4-bit nibbles (same contract
+        # encode_device enforces); E=16 would silently corrupt the sidecar
+        raise ValueError(f"bfp_resid_planes must be in [1, 15], got {E}")
     n_cf = int(np.prod(padded))
-    key = ("v2", n_cf, E, C)
+    K_cfg = int(getattr(config, "bfp_base_planes", 0) or 0)
+    key = ("v2", n_cf, E, C, K_cfg)
     cw_h = None
-    if key in _bfp._K_CACHE:
+    if K_cfg:
+        # explicitly-set / autotuned base-plane count wins; an undersized K
+        # falls back to the legacy path via the cw_max check below
+        K = K_cfg
+    elif key in _bfp._K_CACHE:
         K, cw_max_known = _bfp._K_CACHE[key]
     else:
         cw_h = np.asarray(cw)
@@ -516,9 +545,10 @@ def _serialize_hybrid_v2(st, config: Config) -> bytes:
         return (_empty_outliers() + struct.pack("<B", 0)
                 + _raw_section(lt_eff, dev_state, config))
     crl = jnp.clip(cw - K, 0, E)
-    # fixed superblock for v2 (the _hybrid_v2_ok gate guarantees stream
-    # length divisibility for exactly this size)
-    sb = _bfp.SB_BLOCKS
+    # superblock for v2: an autotuned/explicit bfp_sb_blocks wins when the
+    # stream admits it (the _hybrid_v2_ok gate re-checks the same rule, and
+    # sb is recorded in the blob so any choice decodes everywhere)
+    sb = _v2_sb(config, n_cf, C)
     out = _bfp.encode_core_zz(
         pay.reshape(-1, C * 32), crl, K, E, sb, _bfp._use_pallas(), C
     )
@@ -854,7 +884,7 @@ def decompress(
         try:
             out, _h = ref_stream.decompress_reference(blob)
             return out, compress_status_type.Success
-        except (FormatError, struct.error, ValueError):
+        except (FormatError, struct.error, ValueError, IndexError, KeyError):
             import traceback
 
             traceback.print_exc()

@@ -187,14 +187,26 @@ def _sort_mxu(rows, rank_row, inverse=False):
     ) | sl.astype(jnp.int32)
 
 
-def _enc_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, sym_ref,
-                base_ref, out_ref, buf, sem):
+def _enc_kernel(K, E, PR, C, BPR, sort, woff_ref, rband_ref, sboff_ref,
+                *refs):
+    """Band pack kernel. sort=False: rows arrive width-sorted (external
+    gather path). sort=True: NATURAL-order u16 rows + per-superblock rank
+    ride in and the width sort happens in VMEM via _sort_mxu. ONE body for
+    both so the OR-spill capacity arithmetic can never desynchronize."""
+    if sort:
+        rank_ref, sym_ref, base_ref, out_ref, buf, sem = refs
+    else:
+        sym_ref, base_ref, out_ref, buf, sem = refs
     i = pl.program_id(0)
     sbc = sym_ref.shape[0]
     CAP = E * PR
-    # payload is pre-zigzagged (u16 when K+E <= 16 — halves every HBM pass
-    # feeding the kernel; u32 otherwise); widen is register-only
-    zt = _plane_split(sym_ref[...].astype(jnp.uint32), C)
+    if sort:
+        rows = _sort_mxu(sym_ref[...], rank_ref[...].reshape(1, sbc))
+        zt = _plane_split(jax.lax.bitcast_convert_type(rows, jnp.uint32), C)
+    else:
+        # payload is pre-zigzagged (u16 when K+E <= 16 — halves every HBM
+        # pass feeding the kernel; u32 otherwise); widen is register-only
+        zt = _plane_split(sym_ref[...].astype(jnp.uint32), C)
     if K:
         base_ref[...] = zt[:K].reshape(1, K, C, sbc)
     buf[...] = jnp.zeros_like(buf)
@@ -216,34 +228,16 @@ def _enc_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, sym_ref,
     dma.wait()
 
 
-def _enc_kernel_unsorted(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref,
-                         rank_ref, sym_ref, base_ref, out_ref, buf, sem):
-    """_enc_kernel taking NATURAL-order u16 rows + per-superblock rank;
-    the width sort happens in VMEM via _sort_mxu."""
-    i = pl.program_id(0)
-    sbc = sym_ref.shape[0]
-    CAP = E * PR
-    rows = _sort_mxu(sym_ref[...], rank_ref[...].reshape(1, sbc))
-    zt = _plane_split(jax.lax.bitcast_convert_type(rows, jnp.uint32), C)
-    if K:
-        base_ref[...] = zt[:K].reshape(1, K, C, sbc)
-    buf[...] = jnp.zeros_like(buf)
-    for j in range(E):
-        o = woff_ref[i * E + j]
-        rb = rband_ref[i * E + j]
-        for b in range(C):
-            ob = o + b * rb
-            cur = buf[pl.ds(ob, BPR)]
-            buf[pl.ds(ob, BPR)] = cur | zt[K + j, b].reshape(BPR, LANES)
-    dma = pltpu.make_async_copy(
-        buf.at[pl.ds(0, CAP)], out_ref.at[pl.ds(sboff_ref[i], CAP)], sem
-    )
-    dma.start()
-    dma.wait()
-
-
-def _dec_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, cnt_ref,
-                base_ref, flat_ref, out_ref, buf, sem):
+def _dec_kernel(K, E, PR, C, BPR, unsort, woff_ref, rband_ref, sboff_ref,
+                cnt_ref, *refs):
+    """Band unpack kernel. unsort=False: emit width-sorted zigzag tiles
+    (un-sort gather happens outside). unsort=True: un-sort to NATURAL
+    chunk order in VMEM via _sort_mxu before writing. ONE body for both —
+    mirror of _enc_kernel."""
+    if unsort:
+        rank_ref, base_ref, flat_ref, out_ref, buf, sem = refs
+    else:
+        base_ref, flat_ref, out_ref, buf, sem = refs
     i = pl.program_id(0)
     sbc = out_ref.shape[0]
     CAP = E * PR
@@ -266,46 +260,19 @@ def _dec_kernel(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref, cnt_ref,
     if hi > 0:
         rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))
     zt = jnp.concatenate(rows, axis=0)
-    # emit ZIGZAG tiles in the payload dtype; un-zigzag happens outside
-    # after the un-sort gather (on the narrow half-width stream)
-    out_ref[...] = _plane_merge(zt, C).astype(out_ref.dtype)
-
-
-def _dec_kernel_unsort(K, E, PR, C, BPR, woff_ref, rband_ref, sboff_ref,
-                       cnt_ref, rank_ref, base_ref, flat_ref, out_ref, buf,
-                       sem):
-    """_dec_kernel that un-sorts to NATURAL chunk order in VMEM via
-    _sort_mxu before writing (no external row gather)."""
-    i = pl.program_id(0)
-    sbc = out_ref.shape[0]
-    CAP = E * PR
-    dma = pltpu.make_async_copy(
-        flat_ref.at[pl.ds(sboff_ref[i], CAP)], buf.at[pl.ds(0, CAP)], sem
-    )
-    dma.start()
-    dma.wait()
-    rows = [base_ref[...].reshape(max(K, 1), C, sbc)[:K]] if K else []
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sbc), 2)
-    for j in range(E):
-        o = woff_ref[i * E + j]
-        rb = rband_ref[i * E + j]
-        bands = []
-        for b in range(C):
-            bands.append(buf[pl.ds(o + b * rb, BPR)].reshape(1, 1, sbc))
-        pj = jnp.concatenate(bands, axis=1)  # (1, C, sbc)
-        rows.append(jnp.where(col < cnt_ref[i * E + j], pj, jnp.uint32(0)))
-    hi = 32 - K - E
-    if hi > 0:
-        rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))
-    zt = jnp.concatenate(rows, axis=0)
-    merged = _plane_merge(zt, C)  # (sbc, CL) u32, values <= 0xFFFF
-    nat = _sort_mxu(
-        jax.lax.bitcast_convert_type(merged, jnp.int32),
-        rank_ref[...].reshape(1, sbc), inverse=True,
-    )
-    out_ref[...] = jax.lax.bitcast_convert_type(nat, jnp.uint32).astype(
-        out_ref.dtype
-    )
+    merged = _plane_merge(zt, C)  # (sbc, CL) u32 zigzag
+    if unsort:
+        nat = _sort_mxu(
+            jax.lax.bitcast_convert_type(merged, jnp.int32),
+            rank_ref[...].reshape(1, sbc), inverse=True,
+        )
+        out_ref[...] = jax.lax.bitcast_convert_type(nat, jnp.uint32).astype(
+            out_ref.dtype
+        )
+    else:
+        # emit ZIGZAG tiles in the payload dtype; un-zigzag happens outside
+        # after the un-sort gather (on the narrow half-width stream)
+        out_ref[...] = merged.astype(out_ref.dtype)
 
 
 def _encode_pallas(sym_rows, woff, rband, sb_off, K, E, sb, C, alloc_rows,
@@ -342,8 +309,7 @@ def _encode_pallas(sym_rows, woff, rband, sb_off, K, E, sb, C, alloc_rows,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kern = (partial(_enc_kernel_unsorted, K, E, PR, C, BPR)
-            if in_kernel_sort else partial(_enc_kernel, K, E, PR, C, BPR))
+    kern = partial(_enc_kernel, K, E, PR, C, BPR, in_kernel_sort)
     args = (woff.reshape(-1), rband.reshape(-1), sb_off)
     args += ((rank_c.reshape(NSB, 1, sbc), sym_rows) if in_kernel_sort
              else (sym_rows,))
@@ -389,8 +355,7 @@ def _decode_pallas(base4d, flat2d, woff, rband, sb_off, cnt_c, K, E, sb, C,
             pltpu.SemaphoreType.DMA,
         ],
     )
-    kern = (partial(_dec_kernel_unsort, K, E, PR, C, BPR)
-            if in_kernel_sort else partial(_dec_kernel, K, E, PR, C, BPR))
+    kern = partial(_dec_kernel, K, E, PR, C, BPR, in_kernel_sort)
     args = (woff.reshape(-1), rband.reshape(-1), sb_off, cnt_c.reshape(-1))
     args += ((rank_c.reshape(NSB, 1, sbc), base4d, flat2d) if in_kernel_sort
              else (base4d, flat2d))

@@ -145,8 +145,20 @@ def compress_qoi(
     global dual-norm bound. Returns (blob, status, data_tol)."""
     arr = np.asarray(data)
     if method == "multilevel":
+        import dataclasses as _dc
+
         from .decomposer import DomainDecomposer
+        from .dtypes import decomposition_type
         from .highlevel import adjust_shape as _adj
+
+        cfg0 = config or Config()
+        if cfg0.decomposition == decomposition_type.Hybrid:
+            # the multilevel certificate is derived from the MultiDim
+            # per-level quantizer structure; the Hybrid path only bounds
+            # pointwise L-inf, which would silently weaken the QoI bound
+            # (same fallback rule as compress_roi / compress_sharded; the
+            # effective choice lands in the header)
+            config = _dc.replace(cfg0, decomposition=decomposition_type.MultiDim)
 
         work_shape = arr.shape
         w_full = qoi.weights.reshape(arr.shape)

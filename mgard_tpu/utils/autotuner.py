@@ -78,7 +78,10 @@ def apply_autotune(config, shape, dtype) -> None:
     # explicitly-set knobs always win over the table
     if "bfx_sb_blocks" in entry and config.bfx_sb_blocks is None:
         config.bfx_sb_blocks = int(entry["bfx_sb_blocks"])
-    if "huff_block_size" in entry:
+    # explicitly-set knobs always win: huff_block_size has a non-None
+    # default, so "still at the dataclass default" is the untouched signal
+    if ("huff_block_size" in entry
+            and config.huff_block_size == type(config).huff_block_size):
         config.huff_block_size = int(entry["huff_block_size"])
     if "bfp_sb_blocks" in entry and config.bfp_sb_blocks is None:
         config.bfp_sb_blocks = int(entry["bfp_sb_blocks"])

@@ -26,20 +26,23 @@ def test_table_persist_and_apply(table_path):
     n = 1 << 20
     key = at._key(jax.default_backend(), np.float32, n)
     at.save_table({key: {"bfx_sb_blocks": 2048, "bfp_chunk": 8,
-                         "huff_block_size": 1024}})
+                         "huff_block_size": 4096}})
     assert at.load_table()[key]["bfx_sb_blocks"] == 2048
 
     cfg = mgard_tpu.Config()
     at.apply_autotune(cfg, (128, 128, 64), np.float32)
     assert cfg.bfx_sb_blocks == 2048
     assert cfg.bfp_chunk == 8
-    assert cfg.huff_block_size == 1024
+    assert cfg.huff_block_size == 4096
 
-    # explicitly-set knobs must win over the table
+    # explicitly-set knobs must win over the table — including ones whose
+    # default is a concrete value rather than None
     cfg2 = mgard_tpu.Config()
     cfg2.bfx_sb_blocks = 4096
+    cfg2.huff_block_size = 512
     at.apply_autotune(cfg2, (128, 128, 64), np.float32)
     assert cfg2.bfx_sb_blocks == 4096
+    assert cfg2.huff_block_size == 512
 
 
 def test_compress_consults_table(table_path, monkeypatch):

@@ -208,3 +208,26 @@ def test_qoi_nonuniform_coords():
     out, st2 = mgard_tpu.decompress(blob)
     assert int(st2) == 0
     assert abs(qoi(out) - qoi(v)) <= qtol
+
+
+def test_qoi_certificate_not_voided_by_hybrid_default():
+    """compress_qoi's multilevel certificate is derived from the MultiDim
+    quantizer structure; with the Hybrid default Config and a large
+    x8-friendly f32 array (the _hybrid_worthwhile regime) the compressor
+    must fall back to MultiDim — and the QoI bound must actually hold."""
+    from mgard_tpu.dtypes import decomposition_type
+    from mgard_tpu.formats.metadata import Metadata
+
+    v = smooth((64, 64, 64)).astype(np.float32)
+    w = np.full(v.shape, 1.0 / v.size)
+    qoi = TensorQuantityOfInterest(w)
+    tol = 1e-6
+    blob, st, data_tol = compress_qoi(v, qoi, tol, s=math.inf)
+    assert int(st) == 0
+    meta, _ = Metadata.deserialize(bytes(blob))
+    assert meta.decomposition != decomposition_type.Hybrid, (
+        "QoI compression must not route through the Hybrid (L-inf only) path"
+    )
+    out, _ = decompress(blob)
+    dq = abs(qoi(v) - qoi(out))
+    assert dq <= tol, f"QoI err {dq} > {tol}"
