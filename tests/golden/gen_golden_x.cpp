@@ -101,5 +101,8 @@ int main() {
   run3d<double>(65, 65, 65, "3d65_f64");
   // non-dyadic odd/even mix exercises the ghost-node level-shape rule
   run3d<float>(60, 65, 70, "3d606570_f32");
+  // tiny leading dim (the MaxDim domain-decomposer subdomain shape):
+  // l_target is limited by the SHORT axis (chain 4->3->2)
+  run3d<float>(4, 33, 33, "3d43333_f32");
   return 0;
 }

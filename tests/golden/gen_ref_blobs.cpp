@@ -72,13 +72,15 @@ void dump(const std::string &path, const void *p, std::size_t bytes) {
 template <typename T>
 void gen(const std::vector<SIZE> &shape, double tol, double s,
          enum error_bound_type ebtype, lossless_type ltype,
-         const std::string &tag) {
+         const std::string &tag, std::size_t footprint = 0) {
   std::vector<std::size_t> shv(shape.begin(), shape.end());
   auto v = make_field<T>(shv);
   dump("ref_input_" + tag + ".bin", v.data(), v.size() * sizeof(T));
 
   Config cfg;
   cfg.lossless = ltype;
+  if (footprint)  // force MaxDim domain decomposition at small sizes
+    cfg.max_memory_footprint = footprint;
   void *compressed = nullptr;
   size_t compressed_size = 0;
   auto st = general_compress<3, T, SERIAL, Compressor<3, T, SERIAL>>(
@@ -93,14 +95,59 @@ void gen(const std::vector<SIZE> &shape, double tol, double s,
               compressed_size, v.size() * sizeof(T));
 }
 
+// Decode a written blob in a FRESH process ("decode" argv mode): decoding
+// in the same process that compressed six other cases produces different
+// output (reference CompressorCache state leaks across shapes), so the
+// decode dumps must not share a process with the compression runs.
+void dump_decode3f(const std::vector<SIZE> &shape, const std::string &tag) {
+  std::string bp = "ref_blob_" + tag + ".mgard";
+  std::FILE *f = std::fopen(bp.c_str(), "rb");
+  if (!f) { std::printf("missing %s\n", bp.c_str()); return; }
+  std::fseek(f, 0, SEEK_END); long sz = std::ftell(f); std::fseek(f, 0, SEEK_SET);
+  std::vector<unsigned char> blob(sz);
+  if (std::fread(blob.data(), 1, sz, f) != (size_t)sz) { std::fclose(f); return; }
+  std::fclose(f);
+  std::size_t n = 1;
+  for (auto s : shape) n *= s;
+  // the fidelity oracle for cross-decoding is the reference's OWN
+  // decompressor output: for domain-decomposed SERIAL streams the
+  // reference's compress pipeline corrupts subdomain data (its own
+  // round-trip misses the bound by ~3 orders of magnitude), so the
+  // pinned contract is decompressor-equivalence, not the error bound
+  void *dec = nullptr;
+  Config cfg;
+  auto st = general_decompress<3, float, SERIAL, Compressor<3, float, SERIAL>>(
+      std::vector<SIZE>(shape), blob.data(), sz, dec, cfg, false);
+  if (st == compress_status_type::Success) {
+    dump("ref_dec_" + tag + ".bin", dec, n * sizeof(float));
+    std::printf("wrote ref_dec_%s.bin\n", tag.c_str());
+  }
+}
+
 } // namespace
 
-int main() {
+int main(int argc, char **argv) {
+  if (argc > 1 && std::string(argv[1]) == "decode") {
+    dump_decode3f({64, 33, 33}, "3d643333_f32_lz4_s0_dd");
+    dump_decode3f({64, 33, 33}, "3d643333_f32_lz4_abs_dd");
+    return 0;
+  }
   gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
              error_bound_type::ABS, lossless_type::LZ4, "3d65_f32_lz4_abs");
   gen<double>({60, 65, 70}, 1e-4, std::numeric_limits<double>::infinity(),
               error_bound_type::ABS, lossless_type::LZ4, "3d606570_f64_lz4_abs");
   gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
              error_bound_type::REL, lossless_type::LZ4, "3d65_f32_lz4_rel");
+  // finite-s (s=0: L2) whole-domain and DECOMPOSED streams — the
+  // decomposed one pins the per-subdomain tol/sqrt(S) quantizer rule in
+  // the cross-decoder
+  gen<float>({65, 65, 65}, 1e-3, 0.0, error_bound_type::ABS,
+             lossless_type::LZ4, "3d65_f32_lz4_s0");
+  gen<float>({64, 33, 33}, 1e-3, 0.0, error_bound_type::ABS,
+             lossless_type::LZ4, "3d643333_f32_lz4_s0_dd",
+             /*footprint=*/1u << 19);
+  gen<float>({64, 33, 33}, 1e-3, std::numeric_limits<float>::infinity(),
+             error_bound_type::ABS, lossless_type::LZ4,
+             "3d643333_f32_lz4_abs_dd", /*footprint=*/1u << 19);
   return 0;
 }

@@ -27,5 +27,6 @@ g++ -O1 -w -std=c++17 -I"$REF/include" -I. \
     "$REF/src/mgard-x/RuntimeX/AutoTuners/AutoTunerSerial.cpp" \
     -lprotobuf -lzstd -lz -o gen_ref_blobs
 ./gen_ref_blobs
-cp ref_input_*.bin ref_blob_*.mgard "$HERE/"
+./gen_ref_blobs decode
+cp ref_input_*.bin ref_blob_*.mgard ref_dec_*.bin "$HERE/"
 echo "reference blobs updated in $HERE"

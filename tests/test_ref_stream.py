@@ -89,3 +89,35 @@ def test_reference_unsupported_backend_clean_error():
     forged = blob[:13] + struct.pack("<I", crc) + bytes(body) + blob[17 + hsize:]
     with pytest.raises(FormatError, match="X_HUFFMAN"):
         ref_stream.decompress_reference(forged)
+
+
+def test_reference_s0_blob_holds_l2_bound():
+    """Whole-domain finite-s (s=0, L2) reference stream: our decode must
+    hold the reference's own bound semantics (RMS-normalized L2 <= tol)."""
+    blob, v = _load("3d65_f32_lz4_s0", (65, 65, 65), np.float32)
+    out, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    l2 = float(np.sqrt(np.mean((out.astype(np.float64) - v) ** 2)))
+    assert l2 <= 1e-3, l2
+
+
+@pytest.mark.parametrize("tag", [
+    "3d643333_f32_lz4_abs_dd", "3d643333_f32_lz4_s0_dd",
+])
+def test_reference_decomposed_blob_matches_reference_decompressor(tag):
+    """Domain-decomposed reference streams (MaxDim dd_method=1, 16
+    subdomains; the finite-s one pins the per-subdomain tol/sqrt(S)
+    dequantizer rule). The fidelity oracle is the reference's OWN
+    decompressor output (ref_dec_*.bin, written by generate_ref_blobs.sh):
+    the reference's SERIAL decomposed COMPRESS pipeline corrupts subdomain
+    interiors, so its own round-trip misses the bound by ~3 orders of
+    magnitude — cross-decoder correctness here means ulp-level agreement
+    with what the reference itself reconstructs, bug included."""
+    blob, _v = _load(tag, (64, 33, 33), np.float32)
+    refdec = np.fromfile(
+        os.path.join(GOLD, f"ref_dec_{tag}.bin"), np.float32
+    ).reshape(64, 33, 33)
+    out, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    d = float(np.max(np.abs(out.astype(np.float64) - refdec)))
+    assert d <= 1e-5, d
