@@ -246,11 +246,125 @@ def _decode_x_lz4(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def _decode_x_huffman(raw: bytes) -> np.ndarray:
+    """Decode the reference's serialized GPU-Huffman stream into the
+    UNSHIFTED signed int64 quantized symbols.
+
+    Layout (reference: Lossless/ParallelHuffman/Huffman.hpp Serialize /
+    ComputeSerializedLayout, all fields sizeof(T)-aligned per
+    RuntimeX/Utilities/Serializer.hpp advance_with_align; the quantized
+    stream type is T=QUANTIZED_INT=int64 so Q=S=H are all 64-bit):
+      'MGXHUFF' | primary_count u64 | dict_size i32 | chunk_size i32 |
+      huffmeta_size u64 | per-chunk bit lengths u64[nchunk] |
+      per-chunk word offsets u64[nchunk] | decodebook_size u64 |
+      decodebook = first H[64] + entry H[64] + keys Q[dict_size] |
+      ddata_size u64 | packed words H[ddata_size] (bits MSB-first) |
+      outlier_count u64 | outlier idx u64[n] | outlier values i64[n]
+    Canonical per-chunk decode mirrors ParallelHuffman/Decode.hpp; the
+    reference folds the +dict_size/2 dictionary shift into its quantizer
+    (Huffman.hpp Compress comment), so the shift is undone here and the
+    generic dequantizer applies unchanged."""
+
+    def _al(p, a):
+        return (p + a - 1) // a * a
+
+    if raw[:7] != b"MGXHUFF":
+        raise FormatError("bad reference Huffman signature")
+    p = _al(7, 8)
+    (primary_count,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    dict_size, chunk_size = struct.unpack_from("<ii", raw, p)
+    p += 8
+    (huffmeta_size,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    nchunk = (primary_count - 1) // chunk_size + 1
+    if huffmeta_size != 2 * nchunk:
+        raise FormatError("reference Huffman metadata size mismatch")
+    bitlens = np.frombuffer(raw, "<u8", nchunk, p)
+    p += 8 * nchunk
+    woffs = np.frombuffer(raw, "<u8", nchunk, p)
+    p += 8 * nchunk
+    (decodebook_size,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    # first[] holds unsigned sentinels (0xFFFF...) for unused code lengths:
+    # keep everything as unbounded Python ints, never signed numpy
+    first = np.frombuffer(raw, "<u8", 64, p)
+    entry = np.frombuffer(raw, "<u8", 64, p + 512)
+    keys = np.frombuffer(raw, "<u8", dict_size, p + 1024)
+    p += int(decodebook_size)
+    p = _al(p, 8)
+    (ddata_size,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    p = _al(p, 8)
+    packed = np.frombuffer(raw, "<u8", int(ddata_size), p)
+    p += 8 * int(ddata_size)
+    (outlier_count,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    out_idx = np.frombuffer(raw, "<u8", int(outlier_count), p)
+    p += 8 * int(outlier_count)
+    out_val = np.frombuffer(raw, "<i8", int(outlier_count), p)
+
+    out = np.zeros(int(primary_count), np.uint64)
+    fl = [int(x) for x in first]
+    el = [int(x) for x in entry]
+    kl = [int(x) for x in keys]
+    pos = 0
+    for c in range(nchunk):
+        nb = int(bitlens[c])
+        n_sym = min(chunk_size, int(primary_count) - c * chunk_size)
+        if nb == 0:
+            pos += n_sym
+            continue
+        w = packed[int(woffs[c]) : int(woffs[c]) + (nb + 63) // 64 + 1]
+        bits = np.unpackbits(w.astype(">u8").view(np.uint8)).tolist()
+        i = 0
+        v = bits[0]
+        l = 1
+        res = []
+        while i < nb:
+            while v < fl[l]:
+                i += 1
+                v = (v << 1) | bits[i]
+                l += 1
+            res.append(kl[el[l] + v - fl[l]])
+            i += 1
+            v = bits[i] if i < len(bits) else 0
+            l = 1
+        if len(res) != n_sym:
+            raise FormatError(
+                f"reference Huffman chunk {c} decoded {len(res)} symbols, "
+                f"expected {n_sym}"
+            )
+        out[pos : pos + n_sym] = res
+        pos += n_sym
+    if outlier_count:
+        out[out_idx] = out_val.view(np.uint64)
+    return out.view(np.int64) - dict_size // 2
+
+
+def _decode_section(payload: bytes, compressor: int) -> np.ndarray:
+    """One subdomain section -> signed int64 quantized symbols."""
+    if compressor == ENC_X_LZ4:
+        return np.frombuffer(_decode_x_lz4(payload), "<i8").copy()
+    if compressor == ENC_X_HUFFMAN:
+        return _decode_x_huffman(payload)
+    if compressor == ENC_X_HUFFMAN_LZ4:
+        return _decode_x_huffman(_decode_x_lz4(payload))
+    if compressor == ENC_X_HUFFMAN_ZSTD:
+        # reference Zstd container: u64 raw size + zstd frame
+        # (Lossless/Zstd.hpp Compress)
+        from ..lossless.host import zstd_decompress
+
+        (n,) = struct.unpack_from("<Q", payload, 0)
+        return _decode_x_huffman(zstd_decompress(payload[8:], int(n)))
+    raise FormatError(f"unsupported reference lossless backend {compressor}")
+
+
 def decompress_reference(blob: bytes):
     """Decompress a reference MGARD-X stream with this framework.
 
     Returns (array, RefHeader). Raises FormatError for reference payloads
-    this build cannot decode (GPU-Huffman-class backends)."""
+    this build cannot decode."""
     import jax.numpy as jnp
 
     from ..config import Config
@@ -258,19 +372,19 @@ def decompress_reference(blob: bytes):
     from ..highlevel import _decompress_core_sym, infer_orthogonal_projection
 
     h = parse_header(blob)
-    if h.compressor != ENC_X_LZ4:
+    if h.compressor not in (ENC_X_LZ4, ENC_X_HUFFMAN, ENC_X_HUFFMAN_LZ4,
+                            ENC_X_HUFFMAN_ZSTD):
         names = {
-            ENC_X_HUFFMAN: "X_HUFFMAN", ENC_X_HUFFMAN_LZ4: "X_HUFFMAN_LZ4",
-            ENC_X_HUFFMAN_ZSTD: "X_HUFFMAN_ZSTD", ENC_X_BLOCK_DELTA:
-            "X_BLOCK_DELTA", ENC_CPU_HUFFMAN_ZSTD: "CPU_HUFFMAN_ZSTD",
-            ENC_X_SYMBOL_RANS: "X_SYMBOL_RANS", ENC_X_ZERORLE_RANS:
-            "X_ZERORLE_RANS",
+            ENC_X_BLOCK_DELTA: "X_BLOCK_DELTA",
+            ENC_CPU_HUFFMAN_ZSTD: "CPU_HUFFMAN_ZSTD",
+            ENC_X_SYMBOL_RANS: "X_SYMBOL_RANS",
+            ENC_X_ZERORLE_RANS: "X_ZERORLE_RANS",
         }
         raise FormatError(
             "reference stream uses lossless backend "
             f"{names.get(h.compressor, h.compressor)}; this build cross-"
-            "decodes X_LZ4 streams — re-compress with -l lz4 or use the "
-            "reference library"
+            "decodes X_LZ4 and the Huffman-class backends — re-compress "
+            "with one of those or use the reference library"
         )
     if h.decomposition != "multidim":
         raise FormatError(
@@ -319,8 +433,7 @@ def decompress_reference(blob: bytes):
         p += 8
         payload = blob[p : p + sec_size]
         p += sec_size
-        raw = _decode_x_lz4(payload)
-        sym = np.frombuffer(raw, "<i8").copy()
+        sym = _decode_section(payload, h.compressor)
         n_elems = int(np.prod(shp))
         if sym.size != n_elems:
             raise FormatError(

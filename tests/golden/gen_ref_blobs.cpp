@@ -149,5 +149,14 @@ int main(int argc, char **argv) {
   gen<float>({64, 33, 33}, 1e-3, std::numeric_limits<float>::infinity(),
              error_bound_type::ABS, lossless_type::LZ4,
              "3d643333_f32_lz4_abs_dd", /*footprint=*/1u << 19);
+  // the reference's DEFAULT lossless class (GPU-Huffman) and its LZ4/Zstd
+  // wrapped variants — cross-decoded by formats/ref_stream._decode_x_huffman
+  gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
+             error_bound_type::ABS, lossless_type::Huffman, "3d65_f32_huf_abs");
+  gen<float>({65, 65, 65}, 1e-3, std::numeric_limits<float>::infinity(),
+             error_bound_type::ABS, lossless_type::Huffman_LZ4,
+             "3d65_f32_huflz4_abs");
+  gen<float>({65, 65, 65}, 1e-3, 0.0, error_bound_type::ABS,
+             lossless_type::Huffman_Zstd, "3d65_f32_hufzstd_s0");
   return 0;
 }

@@ -66,12 +66,12 @@ def test_reference_header_crc_detects_corruption():
 
 
 def test_reference_unsupported_backend_clean_error():
-    """A reference stream with a GPU-Huffman-class backend must fail with a
-    clear message, not garbage output."""
+    """A reference stream with a genuinely unsupported backend (ZeroRLE+rANS
+    wire format) must fail with a clear message, not garbage output."""
     blob, _ = _load(*CASES[0][:3])
     h = ref_stream.parse_header(blob)
-    # re-parse and surgically change Encoding.compressor 8 (X_LZ4) -> 3
-    # (X_HUFFMAN) inside the protobuf body, then re-CRC the header
+    # re-parse and surgically change Encoding.compressor 8 (X_LZ4) -> 10
+    # (X_ZERORLE_RANS) inside the protobuf body, then re-CRC the header
     import zlib
 
     p = 5
@@ -84,10 +84,10 @@ def test_reference_unsupported_backend_clean_error():
     sub = body[idx + 2 : idx + 2 + ln]
     cidx = bytes(sub).find(bytes([2 << 3 | 0, ref_stream.ENC_X_LZ4]))
     assert cidx >= 0
-    body[idx + 2 + cidx + 1] = ref_stream.ENC_X_HUFFMAN
+    body[idx + 2 + cidx + 1] = ref_stream.ENC_X_ZERORLE_RANS
     crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
     forged = blob[:13] + struct.pack("<I", crc) + bytes(body) + blob[17 + hsize:]
-    with pytest.raises(FormatError, match="X_HUFFMAN"):
+    with pytest.raises(FormatError, match="X_ZERORLE_RANS"):
         ref_stream.decompress_reference(forged)
 
 
@@ -121,3 +121,22 @@ def test_reference_decomposed_blob_matches_reference_decompressor(tag):
     assert st == mgard_tpu.compress_status_type.Success
     d = float(np.max(np.abs(out.astype(np.float64) - refdec)))
     assert d <= 1e-5, d
+
+
+@pytest.mark.parametrize("tag,metric", [
+    ("3d65_f32_huf_abs", "linf"),        # the reference's DEFAULT lossless
+    ("3d65_f32_huflz4_abs", "linf"),     # Huffman wrapped in the LZ4 container
+    ("3d65_f32_hufzstd_s0", "l2"),       # Huffman wrapped in zstd, finite-s
+])
+def test_reference_huffman_class_blob_decodes(tag, metric):
+    """Reference GPU-Huffman-class streams (the DEFAULT reference config)
+    cross-decode within the certified bound: canonical per-chunk decode +
+    outlier restore + dictionary un-shift (ref_stream._decode_x_huffman;
+    reference layout Lossless/ParallelHuffman/Huffman.hpp Serialize)."""
+    blob, v = _load(tag, (65, 65, 65), np.float32)
+    out, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    d = out.astype(np.float64) - v
+    err = float(np.max(np.abs(d)) if metric == "linf"
+                else np.sqrt(np.mean(d ** 2)))
+    assert err <= 1e-3, err
