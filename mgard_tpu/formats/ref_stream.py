@@ -360,6 +360,142 @@ def _decode_section(payload: bytes, compressor: int) -> np.ndarray:
     raise FormatError(f"unsupported reference lossless backend {compressor}")
 
 
+# ----------------------------------------------------------------------
+# Reference-stream WRITER: emit files the reference library decompresses
+# ----------------------------------------------------------------------
+def _w_varint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _w_vfield(num: int, val: int) -> bytes:
+    if not val:
+        return b""  # proto3 omits default values
+    return _w_varint(num << 3 | 0) + _w_varint(int(val))
+
+
+def _w_dfield(num: int, val: float) -> bytes:
+    return _w_varint(num << 3 | 1) + struct.pack("<d", float(val))
+
+
+def _w_msg(num: int, payload: bytes) -> bytes:
+    if not payload:
+        return b""
+    return _w_varint(num << 3 | 2) + _w_varint(len(payload)) + payload
+
+
+def _w_packed_u64(num: int, vals) -> bytes:
+    body = b"".join(_w_varint(int(v)) for v in vals)
+    return _w_varint(num << 3 | 2) + _w_varint(len(body)) + body
+
+
+def _encode_x_lz4(raw: bytes, chunk_size: int = 1 << 15) -> bytes:
+    """Write the reference's portable-LZ4 container (LZ4.hpp:25-29 layout:
+    signature(8) | n | chunk_size | nchunks | comp_bytes[nchunks] |
+    packed_bytes | packed). Each chunk is a standard LZ4 block."""
+    from ..lossless import lz4 as _lz4
+
+    n = len(raw)
+    nchunks = (n - 1) // chunk_size + 1
+    chunks = [
+        _lz4.compress(raw[i * chunk_size : (i + 1) * chunk_size])
+        for i in range(nchunks)
+    ]
+    packed = b"".join(chunks)
+    return (
+        b"MGXLZ4P\x00"
+        + struct.pack("<QQQ", n, chunk_size, nchunks)
+        + b"".join(struct.pack("<Q", len(c)) for c in chunks)
+        + struct.pack("<Q", len(packed))
+        + packed
+    )
+
+
+def serialize_reference_header(shape, dtype, tol: float, s: float,
+                               ebtype, norm: float, l_target: int) -> bytes:
+    """Build the reference's binary metadata preamble + proto3 header
+    (field ids from /root/reference/src/mgard.proto:175-193; values mirror
+    Metadata.cpp FillForCompression for a whole-domain uniform MultiDim
+    X_LZ4 stream on the SERIAL backend)."""
+    D = len(shape)
+    s_inf = math.isinf(s)
+    topo = _w_vfield(1, D) + _w_packed_u64(2, shape)
+    domain = _w_msg(2, topo)  # topology + geometry default UNIT_CUBE
+    dataset = _w_vfield(1, 1 if np.dtype(dtype) == np.float64 else 0) + \
+        _w_vfield(2, 1)
+    errctl = (
+        _w_vfield(1, 1 if ebtype == error_bound_type.REL else 0)
+        + _w_vfield(2, 0 if s_inf else 1)
+        + _w_dfield(3, 0.0 if s_inf else s)
+        + _w_dfield(4, norm)
+        + _w_dfield(5, tol)
+    )
+    fdec = _w_vfield(2, 1) + _w_vfield(3, l_target)  # MULTIDIM ghost nodes
+    quant = _w_vfield(1, 1) + _w_vfield(3, 3)  # COEFFICIENTWISE_LINEAR i64
+    enc = _w_vfield(2, ENC_X_LZ4)
+    dev = _w_vfield(1, 1)  # X_SERIAL
+    body = (
+        _w_msg(2, _w_vfield(1, 1) + _w_vfield(2, 6))   # mgard_version 1.6
+        + _w_msg(3, _w_vfield(1, 1))                   # file version 1.0
+        + _w_msg(4, domain)
+        + _w_msg(5, dataset)
+        + _w_msg(6, errctl)
+        + _w_msg(8, fdec)
+        + _w_msg(9, quant)
+        + _w_msg(11, enc)
+        + _w_msg(12, dev)
+    )
+    return (SIGNATURE + struct.pack("<Q", len(body))
+            + struct.pack("<I", zlib.crc32(body) & 0xFFFFFFFF) + body)
+
+
+def compress_reference(data, tol: float, s: float = math.inf,
+                       mode=error_bound_type.ABS) -> bytes:
+    """Compress into a REFERENCE-format MGARD-X stream (whole-domain,
+    uniform grid, X_LZ4 lossless) that the reference library's own
+    decompressor reads. The transform/quantizer match the reference to ulp
+    (tests/golden decomposition parity), so the reference's reconstruction
+    of this stream holds the certified bound. The bidirectional half of
+    the reference's own any-stream-anywhere contract
+    (compress_internal.cpp:5-13)."""
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..hierarchy import get_hierarchy
+    from ..highlevel import _compress_core_sym, infer_orthogonal_projection
+
+    arr = np.ascontiguousarray(data)
+    if arr.dtype not in (np.float32, np.float64):
+        raise FormatError("reference streams carry float32/float64 data")
+    s_inf = math.isinf(s)
+    orthogonal = infer_orthogonal_projection(s)
+    hier = get_hierarchy(arr.shape, arr.dtype, None, Config())
+    norm = 0.0
+    if mode == error_bound_type.REL:
+        if s_inf:
+            norm = float(np.max(np.abs(arr)))
+        else:
+            norm = float(np.sqrt(np.sum(arr.astype(np.float64) ** 2)))
+    quant = hier.quantizers(tol, s, norm, mode,
+                            orthogonal_projection=orthogonal)
+    sym = _compress_core_sym(
+        jnp.asarray(arr), jnp.asarray(quant), hier, orthogonal, s_inf, False
+    )
+    raw = np.asarray(sym).astype("<i8").tobytes()
+    section = _encode_x_lz4(raw)
+    header = serialize_reference_header(
+        arr.shape, arr.dtype, tol, s, mode, norm, hier.l_target
+    )
+    return header + struct.pack("<Q", len(section)) + section
+
+
 def decompress_reference(blob: bytes):
     """Decompress a reference MGARD-X stream with this framework.
 

@@ -140,3 +140,46 @@ def test_reference_huffman_class_blob_decodes(tag, metric):
     err = float(np.max(np.abs(d)) if metric == "linf"
                 else np.sqrt(np.mean(d ** 2)))
     assert err <= 1e-3, err
+
+
+def test_write_reference_stream_roundtrip():
+    """compress_reference output must round-trip through OUR decoder within
+    the bound (the sniffing dispatch routes it like any reference file)."""
+    import math
+
+    from mgard_tpu.formats import ref_stream as rs
+
+    _, v = _load("3d65_f32_lz4_abs", (65, 65, 65), np.float32)
+    blob = rs.compress_reference(v, 1e-3, math.inf)
+    out, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= 1e-3
+
+
+@pytest.mark.parametrize("tag,dt,tol,metric", [
+    ("3d65_f32_abs", np.float32, 1e-3, "linf"),
+    ("3d65_f32_s0", np.float32, 1e-3, "l2"),
+    ("3d65_f64_abs", np.float64, 1e-4, "linf"),
+])
+def test_reference_decodes_our_written_stream(tag, dt, tol, metric):
+    """Bidirectional interop, pinned: xwrite_*.mgard was WRITTEN by
+    compress_reference and xwrite_dec_*.bin is the REFERENCE library's own
+    reconstruction of it (generate_xwrite.sh). The reference must (a) have
+    accepted the stream and (b) reconstruct the original field within the
+    certified bound — and our decoder must agree with the reference's
+    reconstruction to ulp."""
+    v = np.fromfile(
+        os.path.join(GOLD, "ref_input_3d65_f32_lz4_abs.bin"), np.float32
+    ).reshape(65, 65, 65).astype(dt)
+    refdec = np.fromfile(
+        os.path.join(GOLD, f"xwrite_dec_{tag}.bin"), dt
+    ).reshape(65, 65, 65)
+    d = refdec.astype(np.float64) - v
+    err = float(np.max(np.abs(d)) if metric == "linf"
+                else np.sqrt(np.mean(d ** 2)))
+    assert err <= tol, err
+    blob = open(os.path.join(GOLD, f"xwrite_{tag}.mgard"), "rb").read()
+    ours, st = mgard_tpu.decompress(blob)
+    assert st == mgard_tpu.compress_status_type.Success
+    atol = 1e-5 if dt == np.float32 else 1e-12
+    np.testing.assert_allclose(ours, refdec, rtol=0, atol=atol)
