@@ -304,42 +304,79 @@ def _decode_x_huffman(raw: bytes) -> np.ndarray:
     p += 8 * int(outlier_count)
     out_val = np.frombuffer(raw, "<i8", int(outlier_count), p)
 
-    out = np.zeros(int(primary_count), np.uint64)
-    fl = [int(x) for x in first]
-    el = [int(x) for x in entry]
-    kl = [int(x) for x in keys]
-    pos = 0
-    for c in range(nchunk):
-        nb = int(bitlens[c])
-        n_sym = min(chunk_size, int(primary_count) - c * chunk_size)
-        if nb == 0:
-            pos += n_sym
-            continue
-        w = packed[int(woffs[c]) : int(woffs[c]) + (nb + 63) // 64 + 1]
-        bits = np.unpackbits(w.astype(">u8").view(np.uint8)).tolist()
-        i = 0
-        v = bits[0]
-        l = 1
-        res = []
-        while i < nb:
-            while v < fl[l]:
-                i += 1
-                v = (v << 1) | bits[i]
-                l += 1
-            res.append(kl[el[l] + v - fl[l]])
-            i += 1
-            v = bits[i] if i < len(bits) else 0
-            l = 1
-        if len(res) != n_sym:
-            raise FormatError(
-                f"reference Huffman chunk {c} decoded {len(res)} symbols, "
-                f"expected {n_sym}"
-            )
-        out[pos : pos + n_sym] = res
-        pos += n_sym
+    out = _canonical_decode_chunks(
+        packed, woffs, bitlens, first, entry, keys,
+        int(primary_count), int(chunk_size)
+    )
     if outlier_count:
         out[out_idx] = out_val.view(np.uint64)
     return out.view(np.int64) - dict_size // 2
+
+
+def _canonical_decode_chunks(packed, woffs, bitlens, first, entry, keys,
+                             primary_count: int, chunk_size: int):
+    """Vectorized canonical Huffman decode: every chunk advances ONE bit per
+    iteration in lockstep (numpy over all chunks), mirroring Decode.hpp's
+    per-chunk walk exactly — including the u64 wraparound semantics of
+    `v = (v << 1) | bit`. O(max chunk bits) python iterations instead of
+    O(total bits): ~1 s for a 512^3 stream instead of minutes."""
+    nchunk = len(bitlens)
+    nb = bitlens.astype(np.int64)
+    # (chunk, chunk_size)-flat grid: full chunks are dense, only the final
+    # chunk is short, so out[:primary_count] is the stream in order
+    out = np.zeros(nchunk * chunk_size, np.uint64)
+    # per-chunk cursors; chunks whose bits are exhausted go inactive
+    i = np.zeros(nchunk, np.int64)       # bit position (next bit to read)
+    base = woffs.astype(np.int64)        # word offset of each chunk
+    v = np.zeros(nchunk, np.uint64)
+    l = np.zeros(nchunk, np.int64)       # current code length - 1
+    cnt = np.zeros(nchunk, np.int64)     # symbols emitted per chunk
+    with np.errstate(over="ignore"):
+        # prime: v = first bit of each chunk
+        w = packed[base + (i >> 6)]
+        v = (w >> np.uint64(63)) & np.uint64(1)
+        l[:] = 1
+        active = i < nb
+        while active.any():
+            # emit where the current code is complete (v >= first[l])
+            emit = active & (v >= first[l])
+            if emit.any():
+                idx = (entry[l[emit]] + v[emit] - first[l[emit]]).astype(
+                    np.int64
+                )
+                flat = np.where(emit)[0] * chunk_size + cnt[emit]
+                out[flat] = keys[idx]
+                cnt[emit] += 1
+                l[emit] = 0  # reset: the next bit starts a fresh code
+            # consume one bit everywhere still active
+            i = np.where(active, i + 1, i)
+            active = i < nb
+            if not active.any():
+                break
+            word_idx = base + (i >> 6)
+            bit = (
+                packed[np.where(active, word_idx, 0)]
+                >> (np.uint64(63) - (i & 63).astype(np.uint64))
+            ) & np.uint64(1)
+            grow = active & (l > 0)
+            fresh = active & (l == 0)
+            v = np.where(grow, (v << np.uint64(1)) | bit, v)
+            v = np.where(fresh, bit, v)
+            l = np.where(active, l + 1, l)
+    # last chunk may be short; every full chunk must have decoded exactly
+    # chunk_size symbols
+    expect = np.minimum(
+        chunk_size,
+        primary_count - np.arange(nchunk, dtype=np.int64) * chunk_size,
+    )
+    expect = np.where(nb == 0, 0, expect)
+    if not np.array_equal(cnt, expect):
+        bad = int(np.argmax(cnt != expect))
+        raise FormatError(
+            f"reference Huffman chunk {bad} decoded {int(cnt[bad])} symbols,"
+            f" expected {int(expect[bad])}"
+        )
+    return out[:primary_count]
 
 
 def _decode_section(payload: bytes, compressor: int) -> np.ndarray:
