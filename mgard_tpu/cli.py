@@ -36,6 +36,7 @@ def print_usage(err: str = ""):
 \t\t (optional) -dd / --domain-decomposition <max-dim|block|variable>
 \t\t (optional) -dd-size / --domain-decomposition-size <int>
 \t\t (optional) -coords / --coordinates <path to f64 coords file (concatenated per dim)>
+\t\t (optional) --ref-format: write a reference-library-compatible MGARD-X stream (X_LZ4)
 \t\t (optional) -v / --verbose <0|1|2|3>
 \t -x / --decompress: decompress mode
 \t\t -i / --input <path to compressed data>
@@ -190,7 +191,18 @@ def main(argv=None):
                 off += nn
 
         t0 = time.time()
-        blob, st = compress(v, tol=tol, s=s, mode=mode, config=cfg, coords=coords)
+        if _get(argv, "--ref-format", nargs=0):
+            # write a REFERENCE-library-compatible MGARD-X stream
+            # (formats/ref_stream.compress_reference; X_LZ4 lossless)
+            from mgard_tpu.formats.ref_stream import compress_reference
+
+            if coords is not None:
+                print_usage("--ref-format supports uniform grids only")
+            blob, st = compress_reference(v, tol, s, mode), \
+                compress_status_type.Success
+        else:
+            blob, st = compress(v, tol=tol, s=s, mode=mode, config=cfg,
+                                coords=coords)
         t_comp = time.time() - t0
         if st != compress_status_type.Success:
             print(f"[err] compression failed: {st.name}", file=sys.stderr)

@@ -56,3 +56,28 @@ def test_mdr_cli_progressive(field, capsys):
     assert printed.count("OK") >= 2
     out = np.fromfile(out_path, np.float32).reshape(v.shape)
     assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_cli_ref_format_roundtrip(tmp_path):
+    """-z --ref-format writes a reference-library-compatible stream that -x
+    (via the sniffing cross-decoder) reads back within the bound."""
+    import numpy as np
+
+    from mgard_tpu.cli import main
+
+    x = np.linspace(0, 1, 33, dtype=np.float32)
+    v = (np.sin(2 * np.pi * x)[:, None, None]
+         * np.cos(3 * np.pi * x)[None, :, None]
+         + x[None, None, :] ** 2).astype(np.float32)
+    inp = tmp_path / "in.bin"
+    comp = tmp_path / "out.mgard"
+    dec = tmp_path / "dec.bin"
+    v.tofile(inp)
+    main(["-z", "-i", str(inp), "-o", str(comp), "-dt", "s",
+          "-dim", "3", "33", "33", "33", "-em", "abs", "-e", "1e-3",
+          "--ref-format"])
+    blob = comp.read_bytes()
+    assert blob[:5] == b"MGARD" and blob[5:8] != b"TPU"
+    main(["-x", "-i", str(comp), "-o", str(dec)])
+    out = np.fromfile(dec, np.float32).reshape(33, 33, 33)
+    assert float(np.max(np.abs(out - v))) <= 1e-3
