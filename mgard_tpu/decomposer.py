@@ -22,6 +22,17 @@ from .config import Config
 from .dtypes import domain_decomposition_type, error_bound_type
 
 
+def _block_axis_slices(s: int, bs: int) -> List[slice]:
+    """Per-axis block boundaries; a size-1 tail (s % bs == 1) is absorbed
+    into the previous block because a Hierarchy axis must be >= 2. Shared
+    by the compress-side strategy and from_metadata so both sides slice
+    identically."""
+    bounds = list(range(0, s, bs)) + [s]
+    if len(bounds) >= 3 and bounds[-1] - bounds[-2] == 1:
+        del bounds[-2]
+    return [slice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
+
+
 def estimate_memory_footprint(shape: Sequence[int], dtype) -> int:
     """Device-workspace estimate for compressing one (sub)domain.
 
@@ -75,10 +86,12 @@ class DomainDecomposer:
         self.D = len(self.shape)
         self.dtype = np.dtype(dtype)
         self.config = config or Config()
-        self._avail = available_memory or min(
-            available_device_memory(), int(self.config.max_memory_footprint)
+        self._avail = (
+            available_memory
+            if available_memory is not None  # explicit 0 = maximal split
+            else min(available_device_memory(),
+                     int(self.config.max_memory_footprint))
         )
-        self._avail = min(self._avail, int(self.config.max_memory_footprint))
 
         self.domain_decomposed = False
         self.domain_decomposed_dim = 0
@@ -117,9 +130,16 @@ class DomainDecomposer:
         self.domain_decomposed_size = chunk
         self._subdomains = []
         for start in range(0, shape[dim], chunk):
+            end = min(start + chunk, shape[dim])
+            if shape[dim] - end == 1:
+                # a size-1 tail cannot form a Hierarchy (axis >= 2);
+                # absorb the last node into this chunk instead
+                end = shape[dim]
             sl = [slice(0, s) for s in shape]
-            sl[dim] = slice(start, min(start + chunk, shape[dim]))
+            sl[dim] = slice(start, end)
             self._subdomains.append(tuple(sl))
+            if end == shape[dim]:
+                break
 
     def _strategy_block(self):
         bs = int(self.config.block_size)
@@ -129,15 +149,13 @@ class DomainDecomposer:
                 break
             bs = (bs - 1) // 2 + 1
         self.domain_decomposed_size = bs
-        grids = [range(0, s, bs) for s in self.shape]
+        grids = [_block_axis_slices(s, bs) for s in self.shape]
         self._subdomains = []
         import itertools
 
-        for starts in itertools.product(*grids):
+        for sls in itertools.product(*grids):
             self._subdomains.append(
-                tuple(
-                    slice(st, min(st + bs, s)) for st, s in zip(starts, self.shape)
-                )
+                tuple(sls)
             )
 
     def _strategy_variable(self):
@@ -205,16 +223,21 @@ class DomainDecomposer:
         if ddt == domain_decomposition_type.Block:
             import itertools
 
-            grids = [range(0, s, chunk) for s in dd.shape]
+            grids = [_block_axis_slices(s, chunk) for s in dd.shape]
             dd._subdomains = [
-                tuple(slice(st, min(st + chunk, s)) for st, s in zip(starts, dd.shape))
-                for starts in itertools.product(*grids)
+                tuple(sls) for sls in itertools.product(*grids)
             ]
         else:  # MaxDim and Variable-as-recorded both slice one dim
             dim = dd.domain_decomposed_dim
             dd._subdomains = []
             for start in range(0, dd.shape[dim], chunk):
+                end = min(start + chunk, dd.shape[dim])
+                if dd.shape[dim] - end == 1:
+                    # mirror _strategy_max_dim's size-1 tail absorption
+                    end = dd.shape[dim]
                 sl = [slice(0, s) for s in dd.shape]
-                sl[dim] = slice(start, min(start + chunk, dd.shape[dim]))
+                sl[dim] = slice(start, end)
                 dd._subdomains.append(tuple(sl))
+                if end == dd.shape[dim]:
+                    break
         return dd

@@ -341,13 +341,6 @@ class Hierarchy:
                 q[l] = abs_tol / (math.exp2(s * l) * math.sqrt(dof))
         return q
 
-    def estimate_memory_footprint(self) -> int:
-        """Rough bytes of device workspace for one compression of this shape."""
-        elem = self.dtype.itemsize
-        n = self.total_num_elems
-        # input + interp/residual temporaries + int32 quantized + huffman
-        return n * (3 * elem + 4 + 8)
-
     def can_reuse(self, shape: Sequence[int]) -> bool:
         return tuple(shape) == self.shape
 

@@ -113,26 +113,6 @@ def histogram(symbols, dict_size: int):
     return jnp.bincount(symbols.ravel(), length=dict_size)
 
 
-def _staircase_last_le(w0, W: int):
-    """For each word w in [0, W): index of the last symbol k with w0[k] <= w.
-
-    w0 is per-chunk nondecreasing (C, K). Vectorized bisection (log2 K
-    take_along_axis rounds)."""
-    C, K = w0.shape
-    queries = jnp.arange(W, dtype=w0.dtype)[None, :]  # (1, W)
-    lo = jnp.zeros((C, W), dtype=jnp.int32)
-    hi = jnp.full((C, W), K - 1, dtype=jnp.int32)
-    # invariant: w0[lo] <= w (w0[0] == 0 <= w always), answer in [lo, hi]
-    steps = int(np.ceil(np.log2(max(K, 2))))
-    for _ in range(steps):
-        mid = (lo + hi + 1) >> 1
-        vals = jnp.take_along_axis(w0, mid, axis=1)
-        ok = vals <= queries
-        lo = jnp.where(ok, mid, lo)
-        hi = jnp.where(ok, hi, mid - 1)
-    return lo
-
-
 @partial(jax.jit, static_argnums=(3,))
 def encode_kernel(symbols_padded, len_table, code_table, K: int):
     """Pack (C*K,) symbols into per-chunk bitstreams and condense.

@@ -129,6 +129,16 @@ def _zigzag(d):
     return ((d << 1) ^ (d >> 31)).astype(jnp.int32)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _zz_hist_jit(s, stride, dict_size):
+    """Strided zigzag histogram (module-level jit: a per-call closure would
+    retrace on every encode)."""
+    return jnp.bincount(
+        _zigzag(s[::stride].astype(jnp.int32) - dict_size // 2),
+        length=dict_size,
+    )
+
+
 def _unzigzag(z):
     return (z >> 1) ^ -(z & 1)
 
@@ -280,13 +290,9 @@ def encode(symbols, dict_size: int, block_size: int = 1024, sample_cap: int = 1 
     # bincount runs ~0.6 GB/s-effective on TPU (gather-bound); a 256K-sample
     # histogram keeps the codebook estimate while cutting ~0.9 s at 512^3
     stride = max(1, n // sample_cap)
-    zz_hist_fn = jax.jit(
-        lambda s: jnp.bincount(
-            _zigzag(s[::stride].astype(jnp.int32) - dict_size // 2), length=dict_size
-        ),
-        static_argnums=(),
-    )
-    hist = np.array(zz_hist_fn(symbols.ravel())) + 1  # smoothing: every code exists
+    hist = np.array(
+        _zz_hist_jit(symbols.ravel(), stride, dict_size)
+    ) + 1  # smoothing: every code exists
     cb, freqs_desc = rank_codebook_from_hist(hist)
 
     fr_base = np.concatenate(

@@ -119,6 +119,12 @@ def decode_kernel(stream, starts, states, K: int, C: int, slot_t=None, freq_t=No
 _MAGIC = b"RAN1"
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _bincount_jit(s, length):
+    # module-level (not a per-call closure) so the compiled program is reused
+    return jnp.bincount(s, length=length)
+
+
 def encode(symbols, dict_size: int, block_size: int = 1024) -> bytes:
     n = int(symbols.shape[0])
     if n == 0:
@@ -126,9 +132,7 @@ def encode(symbols, dict_size: int, block_size: int = 1024) -> bytes:
     K = block_size
     C = (n + K - 1) // K
     npad = C * K - n
-    hist = np.array(
-        jax.jit(lambda s: jnp.bincount(s, length=dict_size))(symbols.ravel())
-    )
+    hist = np.array(_bincount_jit(symbols.ravel(), dict_size))
     pad_sym = int(np.argmax(hist))
     if npad:
         hist[pad_sym] += npad
@@ -162,11 +166,15 @@ def encode(symbols, dict_size: int, block_size: int = 1024) -> bytes:
 
 
 def decode(data: bytes):
+    # empty blobs carry only the short header encode() writes for n == 0
+    magic_s, n_s, _d, _b = struct.unpack_from("<4sQII", data, 0)
+    if magic_s != _MAGIC:
+        raise ValueError("bad rANS blob")
+    if n_s == 0:
+        return np.zeros(0, np.int32)
     magic, n, dict_size, K, freq_z_len, counts_z_len, stream_len = struct.unpack_from(
         "<4sQIIIIQ", data, 0
     )
-    if magic != _MAGIC:
-        raise ValueError("bad rANS blob")
     p = struct.calcsize("<4sQIIIIQ")
     if n == 0:
         return jnp.zeros((0,), jnp.int32)

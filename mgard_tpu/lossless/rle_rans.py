@@ -22,7 +22,29 @@ from . import rans
 from .huffman import _bucket, device_get_prefix
 
 _MAGIC = b"ZRR1"
-MAX_RUN = 60000
+# run alphabet [0, MAX_RUN] must fit the rANS table (2^SCALE_BITS = 16384
+# distinct symbols): with MAX_RUN+1 == table size the quantizer can never
+# overflow, whatever the run-length distribution. Longer runs split into
+# synthetic (MAX_RUN, zero) pairs below; decode is independent of the
+# constant (run values ride inside the rANS blob).
+MAX_RUN = 16383
+
+
+from functools import lru_cache, partial  # noqa: E402
+
+
+@lru_cache(maxsize=64)
+def _extract_jit(cap: int, n: int):
+    """Module-level jit keyed on (cap, n): a fresh closure per encode() call
+    would defeat the jit cache and retrace every time."""
+
+    @jax.jit
+    def extract(sym, mask):
+        idx = masked_indices(mask, cap, n)
+        vals = sym[jnp.minimum(idx, n - 1)]
+        return idx.astype(jnp.int32), vals
+
+    return extract
 
 
 def encode(symbols, config) -> bytes:
@@ -37,12 +59,7 @@ def encode(symbols, config) -> bytes:
     count = int(jnp.sum(mask))
     cap = min(max(_bucket(max(count, 1)), 1), n)
     cap = max(cap, count)
-
-    @jax.jit
-    def extract(sym, mask):
-        idx = masked_indices(mask, cap, n)
-        vals = sym[jnp.minimum(idx, n - 1)]
-        return idx.astype(jnp.int32), vals
+    extract = _extract_jit(cap, n)
 
     idx, vals = extract(sym, mask)
     idx_h = device_get_prefix(idx, count).astype(np.int64)

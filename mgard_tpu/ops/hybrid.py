@@ -719,9 +719,13 @@ def local_inverse_fused_v2(zz_u16, rem, q, nl: int, dtype,
 
 def local_transform_v2_xla(v, inv_q, nl: int, C: int):
     """Plain-XLA oracle for local_transform_fused_v2: bit-identical
-    (payload, cw, rem) via whole-array ops. Used by the CPU test suite to
-    pin the Pallas kernel's output and as the compress-side reference for
-    the wire format."""
+    (payload, cw, rem) via whole-array ops for in-budget data (every chunk
+    width <= 16). On u16 overflow the granularity intentionally differs:
+    the kernel poisons the whole TILE's widths to 32 while this oracle
+    reports true per-chunk widths — both exceed 16, so the caller takes
+    the same legacy fallback either way. Used by the CPU test suite to pin
+    the Pallas kernel's output and as the compress-side reference for the
+    wire format."""
     import jax
     import jax.numpy as jnp
 

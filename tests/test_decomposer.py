@@ -109,3 +109,43 @@ def test_block_decomposed_roundtrip():
     out, st2 = decompress(blob)
     assert st2 == compress_status_type.Success
     assert np.max(np.abs(out - v)) <= 1e-2
+
+
+def test_size_one_tails_are_absorbed():
+    """shape % chunk == 1 must never emit a size-1 subdomain (a Hierarchy
+    axis needs >= 2 nodes): the tail node is absorbed into the last chunk,
+    identically on the compress-side strategy and from_metadata."""
+    import numpy as np
+
+    from mgard_tpu import Config
+    from mgard_tpu.decomposer import DomainDecomposer, _block_axis_slices
+    from mgard_tpu.dtypes import domain_decomposition_type
+
+    # Block: 257 % 256 == 1 on both axes
+    cfg = Config()
+    cfg.domain_decomposition = domain_decomposition_type.Block
+    cfg.block_size = 256
+    dd = DomainDecomposer((257, 257), np.float32, cfg)
+    for i in range(dd.num_subdomains):
+        assert min(dd.subdomain_shape(i)) >= 2, dd.subdomain_shape(i)
+
+    # MaxDim with a tiny budget: forced halving can hit remainder 1
+    cfg2 = Config()
+    dd2 = DomainDecomposer((13, 9, 9), np.float32, cfg2, available_memory=0)
+    assert dd2.domain_decomposed
+    for i in range(dd2.num_subdomains):
+        assert min(dd2.subdomain_shape(i)) >= 2, dd2.subdomain_shape(i)
+    # slices must tile the axis exactly
+    covered = sum(
+        dd2.subdomain_shape(i)[dd2.domain_decomposed_dim]
+        for i in range(dd2.num_subdomains)
+    )
+    assert covered == 13
+
+    # helper invariant across a sweep
+    for s in range(4, 70):
+        for bs in range(3, 20):
+            sls = _block_axis_slices(s, bs)
+            assert sls[0].start == 0 and sls[-1].stop == s
+            assert all(b.start == a.stop for a, b in zip(sls, sls[1:]))
+            assert all((sl.stop - sl.start) != 1 for sl in sls) or s == 1

@@ -117,3 +117,14 @@ def test_rans_beats_huffman_floor_on_sparse():
     huf = lossless_compress(jnp.asarray(sym), cfg)
     assert len(rle) < len(huf) / 2
     assert 8 * len(rle) / sym.size < 0.5
+
+
+def test_rans_empty_roundtrip():
+    """rans.encode/decode must be inverses for n == 0 (the short header)."""
+    import jax.numpy as jnp
+
+    from mgard_tpu.lossless import rans
+
+    blob = rans.encode(jnp.zeros(0, jnp.int32), 4096)
+    out = rans.decode(blob)
+    assert out.shape == (0,)
