@@ -109,3 +109,34 @@ def test_v2_stream_decodes_without_pallas(monkeypatch):
     assert int(st2) == 0
     err = float(np.max(np.abs(out.astype(np.float64) - v)))
     assert err <= tol, err
+
+
+def test_v2_stream_honors_tuned_superblock(monkeypatch):
+    """An autotuned/explicit Config.bfp_sb_blocks must reach the v2 cf
+    stream (sb rides in the blob header, so any admitted value decodes)."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU-only scenario")
+    from mgard_tpu.lossless import bfp
+
+    monkeypatch.setattr(H, "_hybrid_v2_ok", lambda *a, **k: True)
+    monkeypatch.setattr(H, "_pick_v2_chunk", lambda *a, **k: C)
+    monkeypatch.setattr(Hy, "local_transform_fused_v2",
+                        lambda v, iq, nl, c: Hy.local_transform_v2_xla(
+                            v, iq, nl, c))
+    v = np.asarray(_field((64, 64, 128)))
+    cfg = mgard_tpu.Config()
+    cfg.bfp_sb_blocks = 8192
+    tol = 1e-3
+    blob, st = mgard_tpu.compress(v, tol=tol, config=cfg)
+    assert int(st) == 0
+    # the cf stream's recorded superblock must be the tuned one
+    import struct as _s
+
+    idx = bytes(blob).find(b"BFP5")
+    assert idx >= 0
+    _m, _n, _rr, _K, _E, sb_rec, _C, _cnt = _s.unpack_from(bfp._HDR, blob, idx)
+    assert sb_rec == 8192, sb_rec
+    monkeypatch.undo()
+    out, st2 = mgard_tpu.decompress(blob)
+    assert int(st2) == 0
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= tol
