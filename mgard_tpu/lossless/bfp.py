@@ -623,14 +623,18 @@ def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
+    base_h = _as_le_u4(np.asarray(base)[:, :K]) if K else np.zeros(0, "<u4")
     resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
     ).astype(np.uint32)
-    resid_h = _compact_resid(resid_flat, crl_h, E, C, sb).astype("<u4")
+    resid_h = _as_le_u4(_compact_resid(resid_flat, crl_h, E, C, sb))
     head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, 0)
-    return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
-            + resid_h.tobytes())
+    # join array views directly: one copy per payload byte (tobytes() +
+    # concat would copy each twice — measurable at 512^3 stream sizes)
+    return b"".join([
+        head, nib.astype(np.uint8), base_h.reshape(-1).view(np.uint8),
+        resid_h.view(np.uint8),
+    ])
 
 
 def deserialize_prepared(data: bytes, offset: int = 0):
@@ -700,24 +704,80 @@ def _band_src_indices(crl_h: np.ndarray, E: int, C: int, sb: int):
     return src, int(sb_rows.sum())
 
 
+def _as_le_u4(a: np.ndarray) -> np.ndarray:
+    """Little-endian uint32, zero-copy when the array already is one."""
+    if a.dtype == np.dtype("<u4") and a.flags.c_contiguous:
+        return a
+    return np.ascontiguousarray(a).astype("<u4", copy=False)
+
+
+def _band_geometry(crl_h: np.ndarray, E: int, C: int, sb: int):
+    """Small-array band geometry shared by compaction and expansion:
+    per-(superblock, plane) valid word count (cnt), band row count per
+    channel (rband), global band start row, and total padded rows. Counts
+    are permutation-invariant, so the sidecar alone determines them even
+    though the device rows are width-sorted."""
+    sbc = sb // C
+    NSB = (crl_h.shape[0] * C) // sb
+    crl2 = crl_h.reshape(NSB, sbc)
+    cnt = (crl2[:, None, :] > np.arange(E)[None, :, None]).sum(2)  # (NSB,E)
+    rband = -(-cnt // LANES)
+    rows_p = (rband * C).reshape(-1)
+    ends = np.cumsum(rows_p)
+    band_start = (ends - rows_p).reshape(NSB, E)
+    rows = int(ends[-1]) if ends.size else 0
+    return cnt, rband, band_start, rows
+
+
 def _compact_resid(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
                    C: int, sb: int) -> np.ndarray:
-    src, _ = _band_src_indices(crl_h, E, C, sb)
-    return resid_flat[src]
+    """Band-sliced prefix compaction (wire order = (superblock, plane,
+    channel) segments of cnt words each). A per-word gather index would be
+    tens of MB of int64 traffic; slicing per band (NSB*E iterations, each a
+    contiguous 2-D prefix copy) moves only the payload bytes."""
+    cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
+    NSB, Ep = cnt.shape
+    out = np.empty(int(cnt.sum()) * C, resid_flat.dtype)
+    o = 0
+    for s in range(NSB):
+        for p in range(Ep):
+            c = int(cnt[s, p])
+            if not c:
+                continue
+            r = int(rband[s, p])
+            st = int(band_start[s, p]) * LANES
+            band = resid_flat[st : st + C * r * LANES].reshape(C, r * LANES)
+            m = C * c
+            out[o : o + m].reshape(C, c)[:] = band[:, :c]
+            o += m
+    return out
 
 
 def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
                   sb: int):
-    """Inverse of _compact_resid -> (padded_rows, words (rows,128) f...)"""
-    src, rows = _band_src_indices(crl_h, E, C, sb)
-    if compact.shape[0] != src.shape[0]:
+    """Inverse of _compact_resid -> ((rows+CAP, LANES) uint32, padded_rows)."""
+    cnt, rband, band_start, rows = _band_geometry(crl_h, E, C, sb)
+    total = int(cnt.sum()) * C
+    if compact.shape[0] != total:
         raise ValueError(
             f"BFP resid stream has {compact.shape[0]} words, sidecar "
-            f"implies {src.shape[0]}"
+            f"implies {total}"
         )
+    NSB, Ep = cnt.shape
     CAP = E * (sb // LANES)
     buf = np.zeros(((rows + CAP) * LANES,), np.uint32)
-    buf[src] = compact
+    o = 0
+    for s in range(NSB):
+        for p in range(Ep):
+            c = int(cnt[s, p])
+            if not c:
+                continue
+            r = int(rband[s, p])
+            st = int(band_start[s, p]) * LANES
+            band = buf[st : st + C * r * LANES].reshape(C, r * LANES)
+            m = C * c
+            band[:, :c] = compact[o : o + m].reshape(C, c)
+            o += m
     return buf.reshape(-1, LANES), rows
 
 
@@ -840,18 +900,22 @@ def serialize_device(state) -> bytes:
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    base_h = np.asarray(base)[:, :K].astype("<u4") if K else np.zeros(0, "<u4")
+    base_h = _as_le_u4(np.asarray(base)[:, :K]) if K else np.zeros(0, "<u4")
     resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
     ).astype(np.uint32)
-    resid_h = _compact_resid(resid_flat, crl_h, E, C, sb).astype("<u4")
+    resid_h = _as_le_u4(_compact_resid(resid_flat, crl_h, E, C, sb))
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
     blk_h = np.asarray(exc_blocks[:cnt]).astype("<i4") if cnt else np.zeros(
         (0, C * BS), "<i4"
     )
     head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, cnt)
-    return (head + nib.astype(np.uint8).tobytes() + base_h.tobytes()
-            + resid_h.tobytes() + ids_h.tobytes() + blk_h.tobytes())
+    # join array views directly: one copy per payload byte
+    return b"".join([
+        head, nib.astype(np.uint8), base_h.reshape(-1).view(np.uint8),
+        resid_h.view(np.uint8), ids_h.reshape(-1).view(np.uint8),
+        blk_h.reshape(-1).view(np.uint8),
+    ])
 
 
 def encode(symbols, config=None) -> bytes:

@@ -51,6 +51,15 @@ PLANE_BFX = 2
 PLANE_BFX_MIN_WORDS = 8192
 
 
+def choose_plane_blob(raw_bytes: bytes, candidate, codec_id: int):
+    """Best-of plane selection (raw vs one encoded candidate): the SINGLE
+    policy point shared by every writer (single-device MDRefactor and the
+    sharded refactor host tail) so codec choices can never diverge."""
+    if candidate is not None and len(candidate) < len(raw_bytes):
+        return candidate, codec_id
+    return raw_bytes, PLANE_RAW
+
+
 def decode_plane_blob(blob: bytes, codec: int, m: int) -> np.ndarray:
     """Decode one stored bitplane blob to its (m,) uint32 row.
 
@@ -229,8 +238,33 @@ class ReconstructedData:
 
 
 # ----------------------------------------------------------------------
+def _hier_sig(hier: Hierarchy):
+    """Value-based hierarchy identity for program caches: two Hierarchy
+    objects with the same signature produce identical compiled programs
+    (id()-keying guaranteed a miss for every rebuilt non-uniform hierarchy
+    and pinned stale entries forever)."""
+    coords_sig = (
+        None if hier.uniform
+        else tuple(np.asarray(c, np.float64).tobytes() for c in hier.coords)
+    )
+    return (hier.shape, hier.dtype.name, coords_sig)
+
+
+def _cache_put(cache: dict, key, val, cap: int = 32):
+    if len(cache) >= cap:  # bound growth: drop the oldest entry
+        cache.pop(next(iter(cache)))
+    cache[key] = val
+    return val
+
+
+_REFACTOR_CACHE: dict = {}
+
+
 def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool,
                      interleaver: int = 0):
+    key = (_hier_sig(hier), B, negabinary, orthogonal, interleaver)
+    if key in _REFACTOR_CACHE:
+        return _REFACTOR_CACHE[key]
     L = hier.l_target
     enc = (
         bitplane.encode_kernel_negabinary if negabinary else bitplane.encode_kernel
@@ -245,7 +279,7 @@ def _refactor_device(hier: Hierarchy, B: int, negabinary: bool, orthogonal: bool
             out.append(enc(stream, B))
         return out
 
-    return fn
+    return _cache_put(_REFACTOR_CACHE, key, fn)
 
 
 def MDRefactor(
@@ -304,17 +338,14 @@ def MDRefactor(
         sizes, raws, blobs = [], [], []
         for p in range(planes_h.shape[0]):
             raw_bytes = planes_h[p].astype("<u4").tobytes()
-            best, codec = raw_bytes, PLANE_RAW
+            cand, cid = None, PLANE_RAW
             if lvl_codec == "zlib":
-                z = zlib.compress(raw_bytes, 1)
-                if len(z) < len(best):
-                    best, codec = z, PLANE_ZLIB
+                cand, cid = zlib.compress(raw_bytes, 1), PLANE_ZLIB
             elif lvl_codec == "bfx" and dispatched[l][p] is not None:
                 from ..lossless import bfx as _bfx
 
-                z = _bfx.serialize_device(dispatched[l][p])
-                if len(z) < len(best):
-                    best, codec = z, PLANE_BFX
+                cand, cid = _bfx.serialize_device(dispatched[l][p]), PLANE_BFX
+            best, codec = choose_plane_blob(raw_bytes, cand, cid)
             blobs.append(best)
             sizes.append(len(best))
             raws.append(codec)
@@ -371,8 +402,8 @@ def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
     in-graph deinterleave (static slab writes), and recompose — the device
     counterpart of the reference's BPDecoderRegisterBlockKernel +
     ProgressiveReconstruct chain (no per-plane host loops)."""
-    key = (id(hier), B, counts, negabinary, orthogonal, np.dtype(dtype).name,
-           interleaver)
+    key = (_hier_sig(hier), B, counts, negabinary, orthogonal,
+           np.dtype(dtype).name, interleaver)
     if key in _RECON_CACHE:
         return _RECON_CACHE[key]
     from .components import level_regions, region_deinterleave
@@ -401,8 +432,7 @@ def _reconstruct_device(hier: Hierarchy, B: int, counts: tuple,
                 off += n
         return recompose(dec, hier, orthogonal=orthogonal)
 
-    _RECON_CACHE[key] = fn
-    return fn
+    return _cache_put(_RECON_CACHE, key, fn)
 
 
 def MDReconstruct(
@@ -590,14 +620,14 @@ def MDRequestDecomposed(
 ) -> List[List[int]]:
     """Plan per-subdomain bitplane counts for a global tolerance.
 
-    L-inf: each subdomain independently meets tol. Finite s: per-subdomain
-    L2 errors add in quadrature, so each meets tol/sqrt(S) (the same rule
-    as compression's calc_local_abs_tol)."""
-    import math as _math
-
-    S = len(dmdr.metas)
-    local = tol if _math.isinf(s) else tol / _math.sqrt(S)
-    return [MDRequest(m, local, s) for m in dmdr.metas]
+    estimate_error returns RMS-NORMALIZED bounds (components.py divides by
+    sqrt(n)), and the global RMS is a weighted MEAN of per-subdomain RMS
+    values — so each subdomain independently meeting tol already implies
+    the global bound for BOTH s=inf and finite s. (The tol/sqrt(S)
+    quadrature rule applies only to unnormalized L2 norms, e.g.
+    compression's calc_local_abs_tol; dividing here double-counted the
+    split and over-fetched ~sqrt(S)x plane bytes.)"""
+    return [MDRequest(m, tol, s) for m in dmdr.metas]
 
 
 def MDReconstructDecomposed(

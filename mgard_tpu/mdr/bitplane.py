@@ -350,6 +350,39 @@ def encode_kernel(coeff, B: int):
     return planes, exp, em * _F32_SLACK, es * _F32_SLACK_SQ
 
 
+def _pow2_scale_f32(x, e):
+    """Exact ``x * 2**e`` for integer-valued f32 ``x`` (elements 0 or
+    |x| >= 1) and a traced int32 scalar ``e`` — via IEEE exponent-field
+    integer arithmetic.
+
+    A plain ``x * exp2(e - k)`` (or any two-factor split of it) is unsafe
+    here: XLA's algebraic simplifier merges scalar factors — observed in
+    the optimized HLO on CPU, where the constant ``2^-(B-1)`` folds onto the
+    runtime ``exp2(exp)`` — and the merged scale ``2^(exp-B+1)`` can be
+    subnormal, which FTZ/DAZ execution (XLA CPU fast-math; the TPU VPU)
+    flushes to zero, silently zeroing every decoded value of a
+    tiny-amplitude level (amax < 2^-118 at B=32). Adding ``e`` to the
+    exponent field scales by a power of two exactly, with no fp scale
+    factor for the compiler to create or the hardware to flush. Results
+    whose true magnitude falls below the f32 normal range flush to ±0 (the
+    same contract FTZ hardware gives a multiply)."""
+    xi = jax.lax.bitcast_convert_type(x, jnp.int32)
+    ef = jnp.right_shift(jnp.bitwise_and(xi, jnp.int32(0x7F800000)), 23)
+    new_e = ef + e
+    out = jax.lax.bitcast_convert_type(
+        xi + jnp.left_shift(e, 23), jnp.float32
+    )
+    # ef==0 covers ±0 inputs; new_e<=0 underflows (flush to 0); new_e>=255
+    # cannot occur for in-contract inputs (|x| <= 2^(B-1), result <= amax*2)
+    # but clamp to ±inf rather than wrap into garbage bits
+    signb = jnp.bitwise_and(xi, jnp.int32(np.int32(-(2**31))))
+    inf = jax.lax.bitcast_convert_type(
+        jnp.bitwise_or(signb, jnp.int32(0x7F800000)), jnp.float32
+    )
+    out = jnp.where(new_e >= 255, inf, out)
+    return jnp.where((ef == 0) | (new_e <= 0), jnp.float32(0.0), out)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def decode_kernel(planes, exp, B: int, b: int, out_dtype=jnp.float64):
     """Reconstruct coefficients from the sign plane + the b leading
@@ -377,8 +410,11 @@ def decode_kernel(planes, exp, B: int, b: int, out_dtype=jnp.float64):
         jnp.uint32(0),
     )
     signf = jnp.where(sign == 1, ft.type(-1.0), ft.type(1.0))
-    inv_scale = jnp.exp2(exp.astype(ft) - (B - 1))
-    vals = signf * (mag + half).astype(ft) * inv_scale
+    fixed = signf * (mag + half).astype(ft)
+    if ft == jnp.dtype(jnp.float32):
+        vals = _pow2_scale_f32(fixed, exp.astype(jnp.int32) - (B - 1))
+    else:
+        vals = fixed * jnp.exp2(exp.astype(ft) - (B - 1))
     return vals.reshape(m * LANES)
 
 
@@ -481,8 +517,12 @@ def decode_kernel_negabinary(planes, exp, B: int, b: int, out_dtype=jnp.float64)
     cb = _bit_transpose32(zt)
     M = _nb_mask(B)
     x = (cb.astype(jnp.int64) ^ M) - M
-    inv_scale = jnp.exp2(exp.astype(ft) - (B - 2))
-    return (x.astype(ft) * inv_scale).reshape(m * LANES)
+    fixed = x.astype(ft)
+    if ft == jnp.dtype(jnp.float32):
+        vals = _pow2_scale_f32(fixed, exp.astype(jnp.int32) - (B - 2))
+    else:
+        vals = fixed * jnp.exp2(exp.astype(ft) - (B - 2))
+    return vals.reshape(m * LANES)
 
 
 def encode_level(coeff_flat, B: int):

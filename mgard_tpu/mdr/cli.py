@@ -58,6 +58,8 @@ def main(argv=None):
     if "-z" in argv or "--refactor" in argv:
         dt = get("-dt", "s")
         dtype = np.float32 if dt in ("s", "single") else np.float64
+        if "-dim" not in argv:
+            print_usage("refactor mode needs -dim")
         d = int(get("-dim"))
         i = argv.index("-dim")
         shape = tuple(int(x) for x in argv[i + 2 : i + 2 + d])
@@ -70,6 +72,8 @@ def main(argv=None):
         print(f"[info] refactored {v.nbytes} bytes -> {total} bytes of bitplanes "
               f"({len(meta.levels)} levels x {meta.number_bitplanes} planes)")
     elif "-x" in argv or "--reconstruct" in argv:
+        if "-e" not in argv:
+            print_usage("reconstruct mode needs -e <tol> [...]")
         i = argv.index("-e")
         tols = []
         for a in argv[i + 1 :]:

@@ -90,9 +90,16 @@ def plan_joint_retrieval(
         return estimate_error(metas[v], counts[v], s)
 
     def gain(v, l, b):
+        # rank increments by the SAME metric the stopping bound uses
+        # (err_sq for finite s, err_max for L-inf — mirroring
+        # components.interpret_retrieve_size); a mismatched metric fetches
+        # bytes that barely move the bound
         lm = metas[v].levels[l]
         sr = getattr(metas[v], "sign_rows", 1)
-        red = float(lm.err_max[b] - lm.err_max[b + 1])
+        if math.isinf(s):
+            red = float(lm.err_max[b] - lm.err_max[b + 1])
+        else:
+            red = float(lm.err_sq[b] - lm.err_sq[b + 1])
         cost = lm.plane_sizes[b + sr] + (
             lm.plane_sizes[0] if (b == 0 and sr) else 0
         )
@@ -146,6 +153,9 @@ def MDReconstructQoI(
             bound = min(bound, qoi.device_bound(vars_, per_var))
         if bound <= qoi_tol:
             return vars_, qoi.eval(vars_), bound, counts
+        used = counts  # the plan the returned fields were actually built from
         tol_work *= 0.5  # escalate
         counts = plan_joint_retrieval(metas, tol_work, qoi, s)
-    return vars_, qoi.eval(vars_), bound, counts
+    # rounds exhausted: report the counts that PRODUCED vars_, not the
+    # freshly re-escalated plan that was never reconstructed
+    return vars_, qoi.eval(vars_), bound, used

@@ -122,16 +122,14 @@ def MDRefactorSharded(
             sizes_l, raws, blobs = [], [], []
             for p in range(planes_h.shape[0]):
                 raw_bytes = planes_h[p].astype("<u4").tobytes()
-                best, codec = raw_bytes, 0
+                cand, cid = None, _mdr_api.PLANE_RAW
                 if lvl_codec == "zlib":
-                    z = zlib.compress(raw_bytes, 1)
-                    if len(z) < len(best):
-                        best, codec = z, 1
+                    cand, cid = zlib.compress(raw_bytes, 1), _mdr_api.PLANE_ZLIB
                 elif (lvl_codec == "bfx"
                       and planes_h.shape[1] >= _mdr_api.PLANE_BFX_MIN_WORDS):
-                    z = _bfx.encode(planes_h[p].view(np.int32))
-                    if len(z) < len(best):
-                        best, codec = z, 2  # PLANE_BFX
+                    cand = _bfx.encode(planes_h[p].view(np.int32))
+                    cid = _mdr_api.PLANE_BFX
+                best, codec = _mdr_api.choose_plane_blob(raw_bytes, cand, cid)
                 blobs.append(best)
                 sizes_l.append(len(best))
                 raws.append(codec)

@@ -415,6 +415,38 @@ def decompress_sharded(
 
     from jax import shard_map
 
+    _fn_cache: dict = {}
+
+    def _make_shard_dec(hier, sb, align, use_pallas, n):
+        """Per-(shape, layout) jitted decoder, cached so equal batches reuse
+        ONE compiled program — a fresh closure per batch defeated the jit
+        cache and recompiled the identical shard_map every iteration."""
+        key = (hier.shape, sb, align, use_pallas)
+        if key in _fn_cache:
+            return _fn_cache[key]
+
+        def shard_dec(words_b, widths_b, quant):
+            def one(wb, wd):
+                sym = bfx.decode_core(wb, wd, sb, use_pallas, align)[:n]
+                dec = Q.dequantize_symbols(
+                    sym.reshape(hier.shape), hier, quant.astype(dtype),
+                    s_inf,
+                )
+                return recompose(dec, hier, orthogonal)
+
+            return jax.vmap(one)(words_b, widths_b)
+
+        fn = jax.jit(
+            shard_map(
+                shard_dec,
+                mesh=mesh,
+                in_specs=(P(axis), P(axis), P()),
+                out_specs=P(axis),
+            )
+        )
+        _fn_cache[key] = fn
+        return fn
+
     for sub_shape, idxs in groups.items():
         hier = get_hierarchy(sub_shape, dtype, None, cfg)
         from ..dtypes import error_bound_type as _ebt
@@ -438,26 +470,7 @@ def decompress_sharded(
                 widths[j] = wd
             align = decoded[0][3]
             use_pallas = jax.default_backend() == "tpu" and align == bfx.ALIGN
-
-            def shard_dec(words_b, widths_b, quant):
-                def one(wb, wd):
-                    sym = bfx.decode_core(wb, wd, sb, use_pallas, align)[:n]
-                    dec = Q.dequantize_symbols(
-                        sym.reshape(hier.shape), hier, quant.astype(dtype),
-                        s_inf,
-                    )
-                    return recompose(dec, hier, orthogonal)
-
-                return jax.vmap(one)(words_b, widths_b)
-
-            fn = jax.jit(
-                shard_map(
-                    shard_dec,
-                    mesh=mesh,
-                    in_specs=(P(axis), P(axis), P()),
-                    out_specs=P(axis),
-                )
-            )
+            fn = _make_shard_dec(hier, sb, align, use_pallas, n)
             ws = jax.device_put(
                 jnp.asarray(words), NamedSharding(mesh, P(axis))
             )

@@ -265,9 +265,12 @@ def decompress_zfp(blob: bytes, offset: int = 0):
     q = _Q[d]
     if mode == MODE_ACCURACY:
         budget = math.log2(max(param, 1e-300) / _AMP[d])
-        cut = np.clip(np.floor(budget - (emax - q)), 0, q + 8).astype(np.int32)
+        # the 31 clamp must MATCH _encode_core's (int32 shifts >= 32 are
+        # implementation-defined in XLA; the encoder truncated with <= 31)
+        cut = np.clip(np.floor(budget - (emax - q)), 0,
+                      min(q + 8, 31)).astype(np.int32)
     else:
-        cut = np.full(nb, max(0, q + 2 - int(param)), np.int32)
+        cut = np.full(nb, min(max(0, q + 2 - int(param)), 31), np.int32)
     use_pallas = jax.default_backend() == "tpu"
     out = _decode_core(
         jnp.asarray(sym), jnp.asarray(emax), jnp.asarray(cut), d, padded,

@@ -1,0 +1,84 @@
+"""Profile the HOST serialize stage of the flagship pipeline.
+
+VERDICT r3 Weak #8: bench.py times the device pipeline only (matching the
+reference's Compressor::Compress timer semantics); the host serialize stage
+had never been measured. On this rig the device->host fetch rides a ~4 MB/s
+relay tunnel, so an end-to-end on-rig number would time the tunnel, not the
+framework. This script isolates the two real components:
+
+ 1. byte assembly: _serialize_hybrid_v2-equivalent host work (nibble pack,
+    prefix compaction, header + concat) on ALREADY-HOST arrays sized exactly
+    like the 512^3 bench streams — pure numpy, rig-independent;
+ 2. D2H volume: the bytes a production link must move (comp_bytes), which
+    at PCIe/ICI-class bandwidth (>= 10 GB/s) adds comp_bytes/BW seconds.
+
+Run: python scripts/prof_serialize.py [--n=512]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n: int = 512):
+    from mgard_tpu.lossless import bfp
+
+    # stream geometry of the 512^3 bench (see bench.py): C=16 chunks,
+    # K base planes, E residual planes
+    N = n * n * n
+    NB = N // 32
+    C = 16
+    NC = NB // C
+    K, E = 3, 7
+    rng = np.random.default_rng(0)
+
+    crl_h = rng.integers(0, E + 1, NC).astype(np.uint8)
+    base_h = rng.integers(0, 2**32, (NB, K), np.uint64).astype("<u4")
+    rows = bfp._band_geometry(crl_h, E, C, bfp.SB_BLOCKS)[3]
+    resid_flat = rng.integers(
+        0, 2**32, max(rows * bfp.LANES, 1), np.uint64
+    ).astype(np.uint32)
+
+    # --- byte assembly (the host work serialize_device does after fetch)
+    def assemble():
+        rl = crl_h
+        if NC % 2:
+            rl = np.concatenate([rl, np.zeros(1, np.uint8)])
+        nib = rl[0::2] | (rl[1::2] << 4)
+        resid_h = bfp._compact_resid(
+            resid_flat, crl_h, E, C, bfp.SB_BLOCKS
+        ).astype("<u4")
+        return nib.tobytes() + base_h.tobytes() + resid_h.tobytes()
+
+    blob = assemble()
+    best = min(
+        (lambda: (lambda t0: (assemble(), time.perf_counter() - t0)[1])(
+            time.perf_counter()
+        ))()
+        for _ in range(5)
+    )
+    nbytes = N * 4
+    comp = len(blob)
+    print(f"# n={n}^3 raw {nbytes/1e6:.0f} MB, stream {comp/1e6:.1f} MB")
+    print(
+        f"host byte assembly: {best*1e3:.1f} ms "
+        f"({nbytes/best/1e9:.1f} GB/s of raw input; "
+        f"{comp/best/1e9:.1f} GB/s of output bytes)"
+    )
+    for bw in (10, 32):
+        print(
+            f"D2H at {bw} GB/s link: {comp/bw/1e9*1e3:.1f} ms "
+            f"(adds {comp/bw/1e9:.4f} s per {n}^3 subdomain)"
+        )
+
+
+if __name__ == "__main__":
+    n = 512
+    for a in sys.argv[1:]:
+        if a.startswith("--n="):
+            n = int(a.split("=")[1])
+    main(n)

@@ -174,3 +174,36 @@ def test_narrow_wide_byte_identity():
     cfg2 = mgard_tpu.Config()
     cfg2.bfp_base_planes = 10  # K+E = 18: wide machinery
     _roundtrip(sym, cfg2)
+
+
+def test_band_compaction_matches_index_oracle():
+    """The band-sliced _compact_resid/_expand_resid (fast path: per-band
+    2-D prefix copies) must be byte-identical to the per-word index oracle
+    _band_src_indices across geometries, including zero-count bands."""
+    L = bfp.LANES
+    cases = [
+        (0, 16, 7, 16, bfp.SB_BLOCKS),
+        (1, 4, 7, 16, bfp.SB_BLOCKS),
+        (2, 2, 15, 4, bfp.SB_BLOCKS),
+        (3, 1, 1, 4, bfp.SB_BLOCKS_SMALL),
+        (4, 3, 7, 16, bfp.SB_BLOCKS_SMALL),
+    ]
+    for seed, nsb, E, C, sb in cases:
+        rng = np.random.default_rng(seed)
+        NC = (sb // C) * nsb
+        crl = rng.integers(0, E + 1, NC).astype(np.uint8)
+        if seed == 0:
+            crl[: sb // C] = 0  # a whole superblock of empty bands
+        src, rows = bfp._band_src_indices(crl, E, C, sb)
+        rf = rng.integers(0, 2**32, max(rows * L, 1), np.uint64).astype(
+            np.uint32
+        )
+        ref = rf[src]
+        new = bfp._compact_resid(rf, crl, E, C, sb)
+        np.testing.assert_array_equal(ref, new)
+        cap = E * (sb // L)
+        buf_ref = np.zeros(((rows + cap) * L,), np.uint32)
+        buf_ref[src] = ref
+        buf_new, rows2 = bfp._expand_resid(new, crl, E, C, sb)
+        assert rows2 == rows
+        np.testing.assert_array_equal(buf_ref, buf_new.reshape(-1))

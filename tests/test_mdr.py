@@ -369,3 +369,61 @@ def test_int_quantize_matches_f64_oracle():
     # clamped-scale residues still dominate the true residue magnitude
     over = ~exact
     assert np.all(np.abs(r[over]) >= np.abs(p - mag_ref)[over] - 1e-30)
+
+
+def test_decode_tiny_exponent_f32_no_underflow():
+    """Levels with amax near 2^-120 at B=32 must decode correctly in f32:
+    a single-factor exp2(exp - (B-1)) scale underflows to zero (exponent
+    -151 < f32 minimum) and silently zeroes the whole level. Regression for
+    the two-factor scale in decode_kernel / decode_kernel_negabinary."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    v = (rng.standard_normal(256) * 2.0**-120).astype(np.float64)
+    B = 32
+    for nb in (False, True):
+        enc = bitplane.encode_kernel_negabinary if nb else bitplane.encode_kernel
+        dec = bitplane.decode_kernel_negabinary if nb else bitplane.decode_kernel
+        planes, exp, _, _ = enc(bitplane.pad_stream(jnp.asarray(v)), B)
+        rows = planes[: B if nb else 1 + B]
+        rec32 = np.asarray(dec(rows, exp, B, B, jnp.float32))[:256]
+        rec64 = np.asarray(dec(rows, exp, B, B, jnp.float64))[:256]
+        assert np.any(rec32 != 0.0), ("all-zero decode (underflow)", nb)
+        # f32 decode agrees with the f64 decode to f32 rounding; results
+        # below the f32 normal range flush to 0 (documented _pow2_scale_f32
+        # contract), so allow atol = min normal
+        np.testing.assert_allclose(rec32, rec64, rtol=1e-6, atol=2.0**-126)
+        assert np.max(np.abs(rec64 - v)) <= 2.0 ** (int(exp) - B + 2)
+
+
+def test_decomposed_finite_s_rms_bound():
+    """MDRequestDecomposed plans with the GLOBAL tol per subdomain for
+    finite s: estimate_error bounds are RMS-normalized, and the global RMS
+    is a weighted mean of per-subdomain RMS values, so no tol/sqrt(S)
+    split is needed. The bound must still hold globally."""
+    from mgard_tpu import Config
+    from mgard_tpu.dtypes import domain_decomposition_type
+    from mgard_tpu.mdr.api import (
+        MDReconstructDecomposed,
+        MDRefactorDecomposed,
+        MDRequestDecomposed,
+    )
+
+    rng = np.random.default_rng(12)
+    v = rng.standard_normal((24, 9, 9)).astype(np.float32)
+    cfg = Config()
+    cfg.domain_decomposition = domain_decomposition_type.Block
+    cfg.block_size = 9
+    dmdr = MDRefactorDecomposed(v, cfg)
+    assert len(dmdr.metas) > 1
+    tol = 1e-2
+    plans = MDRequestDecomposed(dmdr, tol, s=0.0)
+    out = MDReconstructDecomposed(dmdr, plans, cfg)
+    rms = float(np.sqrt(np.mean((out.astype(np.float64) - v) ** 2)))
+    assert rms <= tol, rms
+    # and the plan is not sqrt(S)-inflated: each subdomain's own estimate
+    # already meets the global tol, no tighter
+    from mgard_tpu.mdr.components import estimate_error
+
+    for m, c in zip(dmdr.metas, plans):
+        assert estimate_error(m, c, 0.0) <= tol
