@@ -492,24 +492,38 @@ def _raw_encode_device(sym, config: Config):
     return lt, mod.encode_device(sym, getattr(config, "bfx_sb_blocks", None))
 
 
-def _raw_section(lt_eff, dev_state, config: Config) -> bytes:
+def _raw_section_parts(lt_eff, dev_state, config: Config) -> list:
     from .lossless.registry import _HDR as _LHDR
+    from .utils.bytesink import parts_size
 
     mod, zstd_stage = _raw_codec(lt_eff)
-    inner = mod.serialize_device(dev_state)
     if zstd_stage:
         from .lossless import host as _host
 
-        inner = _host.zstd_compress(inner, config.zstd_compress_level)
-    return struct.pack(_LHDR, int(lt_eff), len(inner)) + inner
+        inner = _host.zstd_compress(
+            mod.serialize_device(dev_state), config.zstd_compress_level
+        )
+        return [struct.pack(_LHDR, int(lt_eff), len(inner)), inner]
+    parts = (mod.serialize_device_parts(dev_state)
+             if hasattr(mod, "serialize_device_parts")
+             else [mod.serialize_device(dev_state)])
+    return [struct.pack(_LHDR, int(lt_eff), parts_size(parts))] + parts
 
 
-def _serialize_hybrid_v2(st, config: Config) -> bytes:
-    """Serialize the one-pass hybrid front-end: flag byte 1, cf stream as a
-    prepared BFP5 blob, rem stream as a standard lossless section. Falls
-    back to the legacy single-stream layout (flag 0) when the chunk widths
-    exceed the u16 budget (K+E > 16 or an over-wide chunk)."""
+def _raw_section(lt_eff, dev_state, config: Config) -> bytes:
+    from .utils.bytesink import join
+
+    return join(_raw_section_parts(lt_eff, dev_state, config))
+
+
+def _serialize_hybrid_v2(st, config: Config) -> list:
+    """Serialize the one-pass hybrid front-end as bytesink parts: flag
+    byte 1, cf stream as a prepared BFP5 blob, rem stream as a standard
+    lossless section. Falls back to the legacy single-stream layout
+    (flag 0) when the chunk widths exceed the u16 budget (K+E > 16 or an
+    over-wide chunk)."""
     from .lossless import bfp as _bfp
+    from .utils.bytesink import parts_size
 
     pay, cw, rem_state, v, hier, q, padded, nl, rem_hier, C = st
     E = int(getattr(config, "bfp_resid_planes", 0) or _bfp.E_DEFAULT)
@@ -542,8 +556,8 @@ def _serialize_hybrid_v2(st, config: Config) -> bytes:
             zgroup=bool(config.hybrid_level_grouping),
         )
         lt_eff, dev_state = _raw_encode_device(sym, config)
-        return (_empty_outliers() + struct.pack("<B", 0)
-                + _raw_section(lt_eff, dev_state, config))
+        return ([_empty_outliers() + struct.pack("<B", 0)]
+                + _raw_section_parts(lt_eff, dev_state, config))
     crl = jnp.clip(cw - K, 0, E)
     # superblock for v2: an autotuned/explicit bfp_sb_blocks wins when the
     # stream admits it (the _hybrid_v2_ok gate re-checks the same rule, and
@@ -552,28 +566,32 @@ def _serialize_hybrid_v2(st, config: Config) -> bytes:
     out = _bfp.encode_core_zz(
         pay.reshape(-1, C * 32), crl, K, E, sb, _bfp._use_pallas(), C
     )
-    cf_blob = _bfp.serialize_prepared(n_cf, K, E, sb, C, crl, *out)
-    rem_sec = _raw_section(rem_state[0], rem_state[1], config)
-    return (_empty_outliers() + struct.pack("<B", 1)
-            + struct.pack("<Q", len(cf_blob)) + cf_blob + rem_sec)
+    cf_parts = _bfp.serialize_prepared_parts(n_cf, K, E, sb, C, crl, *out)
+    rem_parts = _raw_section_parts(rem_state[0], rem_state[1], config)
+    return ([_empty_outliers() + struct.pack("<B", 1)
+             + struct.pack("<Q", parts_size(cf_parts))]
+            + cf_parts + rem_parts)
 
 
 def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
-                         orthogonal: bool, prep: bool) -> bytes:
-    """Host phase: sync the dispatched state and build the payload bytes."""
+                         orthogonal: bool, prep: bool) -> list:
+    """Host phase: sync the dispatched state and build the payload as
+    bytesink parts (the top-level assembly writes each byte once)."""
     if state[0] == "hybrid_v2":
         return _serialize_hybrid_v2(state[1], config)
     if state[0] == "hybrid_raw":
         lt_eff, dev_state = state[1]
-        return (_empty_outliers() + struct.pack("<B", 0)
-                + _raw_section(lt_eff, dev_state, config))
+        return ([_empty_outliers() + struct.pack("<B", 0)]
+                + _raw_section_parts(lt_eff, dev_state, config))
     if state[0] == "raw":
         lt_eff, dev_state = state[1]
-        return _empty_outliers() + _raw_section(lt_eff, dev_state, config)
+        return [_empty_outliers()] + _raw_section_parts(
+            lt_eff, dev_state, config
+        )
     _, v, hier, quantizers, single_dim = state
-    return _compress_subdomain_generic(
+    return [_compress_subdomain_generic(
         v, hier, config, quantizers, s, orthogonal, prep, single_dim
-    )
+    )]
 
 
 def _compress_subdomain(
@@ -588,8 +606,12 @@ def _compress_subdomain(
     """Compress one device-resident subdomain to a payload section
     (outliers + lossless stage). Plays the role of Compressor::Compress
     (reference: Compressor.hpp:205-252) for one DomainDecomposer subdomain."""
+    from .utils.bytesink import join
+
     state = _dispatch_subdomain(v, hier, config, abs_tol, s, orthogonal, prep)
-    return _serialize_subdomain(state, config, abs_tol, s, orthogonal, prep)
+    return join(
+        _serialize_subdomain(state, config, abs_tol, s, orthogonal, prep)
+    )
 
 
 def _compress_subdomain_generic(
@@ -766,9 +788,12 @@ def compress(
         t_comp.print("decompose+quantize+lossless",
                      int(np.prod(shape)) * arr.dtype.itemsize)
 
-        payload = b"".join(
-            struct.pack("<Q", len(sec)) + sec for sec in sections
-        )
+        from .utils.bytesink import join as _join, parts_size as _psize
+
+        payload_parts = []
+        for sec in sections:
+            payload_parts.append(struct.pack("<Q", _psize(sec)))
+            payload_parts.extend(sec)
 
         var_sizes = ()
         from .dtypes import domain_decomposition_type as _ddt
@@ -822,7 +847,8 @@ def compress(
             else 0,
             adjusted=adjusted,
         )
-        blob = meta.serialize() + payload
+        # single-copy final assembly: header + every section written once
+        blob = _join([meta.serialize()] + payload_parts)
         t_total.end()
         t_total.print("compress total", int(np.prod(shape)) * arr.dtype.itemsize)
         log.info(

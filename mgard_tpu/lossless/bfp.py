@@ -609,11 +609,13 @@ def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
     return jnp.take(zz_sorted, rank_g, axis=0)
 
 
-def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
-                       base, resid2d, resid_rows) -> bytes:
-    """Serialize an encode_core_zz result as a standard BFP5 blob
-    (exception-free)."""
+def serialize_prepared_parts(n: int, K: int, E: int, sb: int, C: int, crl,
+                             base, resid2d, resid_rows) -> list:
+    """encode_core_zz result as bytesink parts (exception-free blob).
+    The residual payload is a Fill: band compaction writes straight into
+    the final blob region (single copy after the device fetch)."""
     from .huffman import device_get_prefix
+    from ..utils.bytesink import Fill
 
     rows_i = int(resid_rows)
     NB = _pad_to(n, sb) // BS
@@ -623,18 +625,29 @@ def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    base_h = _as_le_u4(np.asarray(base)[:, :K]) if K else np.zeros(0, "<u4")
+    # the non-contiguous [:, :K] slice rides as-is: bytesink strided-copies
+    # it into the blob without a staging buffer
+    base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
     resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
     ).astype(np.uint32)
-    resid_h = _as_le_u4(_compact_resid(resid_flat, crl_h, E, C, sb))
-    head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, 0)
-    # join array views directly: one copy per payload byte (tobytes() +
-    # concat would copy each twice — measurable at 512^3 stream sizes)
-    return b"".join([
-        head, nib.astype(np.uint8), base_h.reshape(-1).view(np.uint8),
-        resid_h.view(np.uint8),
-    ])
+    words = resid_wire_words(crl_h, E, C, sb)
+    head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, 0)
+    return [
+        head, nib.astype(np.uint8), base_h,
+        Fill(4 * words, lambda d: _compact_resid_into(
+            d.view("<u4"), resid_flat, crl_h, E, C, sb)),
+    ]
+
+
+def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
+                       base, resid2d, resid_rows) -> bytes:
+    """Serialize an encode_core_zz result as a standard BFP5 blob
+    (exception-free)."""
+    from ..utils.bytesink import join
+
+    return join(serialize_prepared_parts(n, K, E, sb, C, crl, base,
+                                         resid2d, resid_rows))
 
 
 def deserialize_prepared(data: bytes, offset: int = 0):
@@ -729,15 +742,29 @@ def _band_geometry(crl_h: np.ndarray, E: int, C: int, sb: int):
     return cnt, rband, band_start, rows
 
 
+def resid_wire_words(crl_h: np.ndarray, E: int, C: int, sb: int) -> int:
+    """Valid residual word count on the wire, from the sidecar alone."""
+    cnt = _band_geometry(crl_h, E, C, sb)[0]
+    return int(cnt.sum()) * C
+
+
 def _compact_resid(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
                    C: int, sb: int) -> np.ndarray:
+    out = np.empty(resid_wire_words(crl_h, E, C, sb), resid_flat.dtype)
+    _compact_resid_into(out, resid_flat, crl_h, E, C, sb)
+    return out
+
+
+def _compact_resid_into(out: np.ndarray, resid_flat: np.ndarray,
+                        crl_h: np.ndarray, E: int, C: int, sb: int) -> None:
     """Band-sliced prefix compaction (wire order = (superblock, plane,
-    channel) segments of cnt words each). A per-word gather index would be
-    tens of MB of int64 traffic; slicing per band (NSB*E iterations, each a
-    contiguous 2-D prefix copy) moves only the payload bytes."""
+    channel) segments of cnt words each), written into ``out`` — which the
+    serializer points at the final blob region, so the payload is copied
+    exactly once. A per-word gather index would be tens of MB of int64
+    traffic; slicing per band (NSB*E iterations, each a contiguous 2-D
+    prefix copy) moves only the payload bytes."""
     cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
     NSB, Ep = cnt.shape
-    out = np.empty(int(cnt.sum()) * C, resid_flat.dtype)
     o = 0
     for s in range(NSB):
         for p in range(Ep):
@@ -750,7 +777,6 @@ def _compact_resid(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
             m = C * c
             out[o : o + m].reshape(C, c)[:] = band[:, :c]
             o += m
-    return out
 
 
 def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
@@ -875,10 +901,12 @@ def encode_device(symbols, config=None):
     return ("bfp", n, K, E, sb, exc_cap, use_pallas, sym, out, C)
 
 
-def serialize_device(state) -> bytes:
+def serialize_device_parts(state) -> list:
     if state[0] == "empty":
-        return struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL, CHUNK, 0)
+        return [struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL,
+                            CHUNK, 0)]
     from .huffman import device_get_prefix
+    from ..utils.bytesink import Fill
 
     _, n, K, E, sb, exc_cap, use_pallas, sym, out, C = state
     base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
@@ -900,22 +928,28 @@ def serialize_device(state) -> bytes:
     if NC % 2:
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    base_h = _as_le_u4(np.asarray(base)[:, :K]) if K else np.zeros(0, "<u4")
+    base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
     resid_flat = device_get_prefix(
         resid2d.reshape(-1), rows_i * LANES
     ).astype(np.uint32)
-    resid_h = _as_le_u4(_compact_resid(resid_flat, crl_h, E, C, sb))
+    words = resid_wire_words(crl_h, E, C, sb)
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
-    blk_h = np.asarray(exc_blocks[:cnt]).astype("<i4") if cnt else np.zeros(
+    blk_h = np.asarray(exc_blocks[:cnt]) if cnt else np.zeros(
         (0, C * BS), "<i4"
     )
-    head = struct.pack(_HDR, _MAGIC, n, resid_h.size, K, E, sb, C, cnt)
-    # join array views directly: one copy per payload byte
-    return b"".join([
-        head, nib.astype(np.uint8), base_h.reshape(-1).view(np.uint8),
-        resid_h.view(np.uint8), ids_h.reshape(-1).view(np.uint8),
-        blk_h.reshape(-1).view(np.uint8),
-    ])
+    head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, cnt)
+    return [
+        head, nib.astype(np.uint8), base_h,
+        Fill(4 * words, lambda d: _compact_resid_into(
+            d.view("<u4"), resid_flat, crl_h, E, C, sb)),
+        ids_h, blk_h,
+    ]
+
+
+def serialize_device(state) -> bytes:
+    from ..utils.bytesink import join
+
+    return join(serialize_device_parts(state))
 
 
 def encode(symbols, config=None) -> bytes:

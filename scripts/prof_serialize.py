@@ -43,16 +43,24 @@ def main(n: int = 512):
         0, 2**32, max(rows * bfp.LANES, 1), np.uint64
     ).astype(np.uint32)
 
-    # --- byte assembly (the host work serialize_device does after fetch)
+    # --- byte assembly (the host work serialize_device does after fetch):
+    # the production single-copy path — parts + bytesink.join, residual
+    # compaction writing straight into the final bytes object. (The
+    # pre-bytesink eager concat ran this at ~195 ms / 2.8 GB/s.)
+    from mgard_tpu.utils import bytesink
+
     def assemble():
         rl = crl_h
         if NC % 2:
             rl = np.concatenate([rl, np.zeros(1, np.uint8)])
         nib = rl[0::2] | (rl[1::2] << 4)
-        resid_h = bfp._compact_resid(
-            resid_flat, crl_h, E, C, bfp.SB_BLOCKS
-        ).astype("<u4")
-        return nib.tobytes() + base_h.tobytes() + resid_h.tobytes()
+        sb = bfp.SB_BLOCKS
+        words = bfp.resid_wire_words(crl_h, E, C, sb)
+        return bytesink.join([
+            b"x" * 32, nib.astype(np.uint8), base_h,
+            bytesink.Fill(4 * words, lambda d: bfp._compact_resid_into(
+                d.view("<u4"), resid_flat, crl_h, E, C, sb)),
+        ])
 
     blob = assemble()
     best = min(
