@@ -202,12 +202,10 @@ def compress_sharded(
         _compress_subdomain,
         _empty_outliers,
         _norm_kernel,
-        _raw_codec,
         _raw_encode_device,
         _raw_symbol_backend,
     )
     from ..hierarchy import get_hierarchy
-    from ..lossless.registry import _HDR as _LHDR
 
     config = config or Config()
     if not _raw_symbol_backend(config.lossless):
@@ -264,20 +262,17 @@ def compress_sharded(
         # the in-graph norm already divides by total dof; nothing to fix up
         pass
 
-    # ---- per-subdomain entropy encode + serialize (host loop over shards)
+    # ---- per-subdomain entropy encode + serialize (host loop over shards);
+    # sections are bytesink parts lists so the final assembly below writes
+    # each payload byte once (same single-copy contract as highlevel)
+    from ..highlevel import _raw_section_parts
+    from ..utils.bytesink import join as _join, parts_size as _psize
+
     sections = []
     for i in range(n_dev):
         lt_eff, state = _raw_encode_device(sym[i].ravel(), config)
-        mod, zstd_stage = _raw_codec(lt_eff)
-        inner = mod.serialize_device(state)
-        if zstd_stage:
-            from ..lossless import host as _host
-
-            inner = _host.zstd_compress(inner, config.zstd_compress_level)
         sections.append(
-            _empty_outliers()
-            + struct.pack(_LHDR, int(lt_eff), len(inner))
-            + inner
+            [_empty_outliers()] + _raw_section_parts(lt_eff, state, config)
         )
     if has_rem:
         from ..decomposer import calc_local_abs_tol
@@ -286,14 +281,17 @@ def compress_sharded(
         rem_hier = get_hierarchy(
             (sizes[-1],) + shape[1:], arr.dtype, None, config
         )
-        sections.append(
+        sections.append([
             _compress_subdomain(
                 rem_arr, rem_hier, config, local_tol, s,
                 orthogonal=not s_inf, prep=False,
             )
-        )
+        ])
 
-    payload = b"".join(struct.pack("<Q", len(sec)) + sec for sec in sections)
+    payload_parts = []
+    for sec in sections:
+        payload_parts.append(struct.pack("<Q", _psize(sec)))
+        payload_parts.extend(sec)
     meta = Metadata(
         dtype=dtype_enum(arr.dtype),
         shape=shape,
@@ -319,7 +317,7 @@ def compress_sharded(
     )
     from ..dtypes import compress_status_type as _st
 
-    return meta.serialize() + payload, _st.Success
+    return _join([meta.serialize()] + payload_parts), _st.Success
 
 
 # ----------------------------------------------------------------------
