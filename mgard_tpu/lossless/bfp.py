@@ -615,7 +615,6 @@ def serialize_prepared_parts(n: int, K: int, E: int, sb: int, C: int, crl,
     The residual payload is a Fill: band compaction writes straight into
     the final blob region (single copy after the device fetch)."""
     from .huffman import device_get_prefix
-    from ..utils.bytesink import Fill
 
     rows_i = int(resid_rows)
     NB = _pad_to(n, sb) // BS
@@ -633,11 +632,8 @@ def serialize_prepared_parts(n: int, K: int, E: int, sb: int, C: int, crl,
     ).astype(np.uint32)
     words = resid_wire_words(crl_h, E, C, sb)
     head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, 0)
-    return [
-        head, nib.astype(np.uint8), base_h,
-        Fill(4 * words, lambda d: _compact_resid_into(
-            d.view("<u4"), resid_flat, crl_h, E, C, sb)),
-    ]
+    return ([head, nib.astype(np.uint8), base_h]
+            + _compact_resid_fills(resid_flat, crl_h, E, C, sb))
 
 
 def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
@@ -755,6 +751,24 @@ def _compact_resid(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
     return out
 
 
+def _compact_sb(out: np.ndarray, resid_flat: np.ndarray, cnt, rband,
+                band_start, C: int, s: int) -> int:
+    """Write superblock ``s``'s compact residual words into ``out``;
+    returns the word count written."""
+    o = 0
+    for p in range(cnt.shape[1]):
+        c = int(cnt[s, p])
+        if not c:
+            continue
+        r = int(rband[s, p])
+        st = int(band_start[s, p]) * LANES
+        band = resid_flat[st : st + C * r * LANES].reshape(C, r * LANES)
+        m = C * c
+        out[o : o + m].reshape(C, c)[:] = band[:, :c]
+        o += m
+    return o
+
+
 def _compact_resid_into(out: np.ndarray, resid_flat: np.ndarray,
                         crl_h: np.ndarray, E: int, C: int, sb: int) -> None:
     """Band-sliced prefix compaction (wire order = (superblock, plane,
@@ -764,19 +778,27 @@ def _compact_resid_into(out: np.ndarray, resid_flat: np.ndarray,
     traffic; slicing per band (NSB*E iterations, each a contiguous 2-D
     prefix copy) moves only the payload bytes."""
     cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
-    NSB, Ep = cnt.shape
     o = 0
-    for s in range(NSB):
-        for p in range(Ep):
-            c = int(cnt[s, p])
-            if not c:
-                continue
-            r = int(rband[s, p])
-            st = int(band_start[s, p]) * LANES
-            band = resid_flat[st : st + C * r * LANES].reshape(C, r * LANES)
-            m = C * c
-            out[o : o + m].reshape(C, c)[:] = band[:, :c]
-            o += m
+    for s in range(cnt.shape[0]):
+        o += _compact_sb(out[o:], resid_flat, cnt, rband, band_start, C, s)
+
+
+def _compact_resid_fills(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
+                         C: int, sb: int) -> list:
+    """Residual compaction as one bytesink Fill PER superblock — disjoint
+    destination ranges, so multi-core hosts assemble them in parallel."""
+    from ..utils.bytesink import Fill
+
+    cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
+    words_sb = cnt.sum(1) * C
+    fills = []
+    for s in range(cnt.shape[0]):
+        w = int(words_sb[s])
+        if not w:
+            continue
+        fills.append(Fill(4 * w, lambda d, s=s: _compact_sb(
+            d.view("<u4"), resid_flat, cnt, rband, band_start, C, s)))
+    return fills
 
 
 def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
@@ -906,7 +928,6 @@ def serialize_device_parts(state) -> list:
         return [struct.pack(_HDR, _MAGIC, 0, 0, 0, 0, SB_BLOCKS_SMALL,
                             CHUNK, 0)]
     from .huffman import device_get_prefix
-    from ..utils.bytesink import Fill
 
     _, n, K, E, sb, exc_cap, use_pallas, sym, out, C = state
     base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
@@ -938,12 +959,9 @@ def serialize_device_parts(state) -> list:
         (0, C * BS), "<i4"
     )
     head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, cnt)
-    return [
-        head, nib.astype(np.uint8), base_h,
-        Fill(4 * words, lambda d: _compact_resid_into(
-            d.view("<u4"), resid_flat, crl_h, E, C, sb)),
-        ids_h, blk_h,
-    ]
+    return ([head, nib.astype(np.uint8), base_h]
+            + _compact_resid_fills(resid_flat, crl_h, E, C, sb)
+            + [ids_h, blk_h])
 
 
 def serialize_device(state) -> bytes:

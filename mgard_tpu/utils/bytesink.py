@@ -29,9 +29,17 @@ correctness at the cost of that one extra copy.
 from __future__ import annotations
 
 import ctypes
+import os
 from typing import Callable, List, NamedTuple, Union
 
 import numpy as np
+
+# parts write disjoint destination regions, so assembly parallelizes
+# trivially; numpy block copies release the GIL. 0/1 disables (default on
+# single-core rigs); production TPU VMs benefit up to memory bandwidth.
+_THREADS = int(os.environ.get("MGARD_TPU_SERIALIZE_THREADS",
+                              min(4, os.cpu_count() or 1)))
+_MIN_PARALLEL_BYTES = 8 << 20
 
 
 class Fill(NamedTuple):
@@ -82,20 +90,37 @@ def _write_array(dst_u8: np.ndarray, src: np.ndarray) -> None:
         dst_u8[:] = np.ascontiguousarray(src).reshape(-1).view(np.uint8)
 
 
-def join_into(out: np.ndarray, parts) -> int:
+def _write_part(dst: np.ndarray, p: Part) -> None:
+    if isinstance(p, Fill):
+        p.fn(dst)
+    elif isinstance(p, np.ndarray):
+        _write_array(dst, p)
+    else:
+        dst[:] = np.frombuffer(p, np.uint8)
+
+
+def join_into(out: np.ndarray, parts, threads: int | None = None) -> int:
     """Write ``parts`` consecutively into uint8 array ``out``; returns the
-    total byte count written."""
-    o = 0
+    total byte count written. Parts target disjoint regions, so big
+    streams are written by a thread pool when ``threads`` (default: the
+    MGARD_TPU_SERIALIZE_THREADS env knob, capped at 4) allows."""
+    offs, o = [], 0
     for p in parts:
-        m = part_nbytes(p)
-        dst = out[o : o + m]
-        if isinstance(p, Fill):
-            p.fn(dst)
-        elif isinstance(p, np.ndarray):
-            _write_array(dst, p)
-        else:
-            dst[:] = np.frombuffer(p, np.uint8)
-        o += m
+        offs.append(o)
+        o += part_nbytes(p)
+    nthreads = _THREADS if threads is None else threads
+    if nthreads > 1 and o >= _MIN_PARALLEL_BYTES and len(parts) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=nthreads) as ex:
+            list(ex.map(
+                lambda t: _write_part(out[t[0] : t[0] + part_nbytes(t[1])],
+                                      t[1]),
+                zip(offs, parts),
+            ))
+        return o
+    for off, p in zip(offs, parts):
+        _write_part(out[off : off + part_nbytes(p)], p)
     return o
 
 

@@ -90,6 +90,32 @@ def test_capi_path_active():
     assert bytesink._HAVE_CAPI
 
 
+def test_threaded_join_matches_serial():
+    """Explicit multi-thread assembly (disjoint regions) must produce the
+    same bytes as the serial path — exercised explicitly because this
+    rig's cpu_count=1 default never threads."""
+    rng = np.random.default_rng(7)
+    parts = []
+    for i in range(9):
+        m = int(rng.integers(1 << 20, 3 << 20))
+        if i % 3 == 2:
+            data = rng.integers(0, 255, m, np.uint16).astype(np.uint8)
+
+            def fn(out, data=data):
+                out[:] = data
+
+            parts.append(Fill(m, fn))
+        else:
+            parts.append(rng.integers(0, 255, m, np.uint16).astype(np.uint8))
+    total = parts_size(parts)
+    assert total >= bytesink._MIN_PARALLEL_BYTES
+    serial = np.zeros(total, np.uint8)
+    join_into(serial, parts, threads=1)
+    threaded = np.zeros(total, np.uint8)
+    join_into(threaded, parts, threads=4)
+    np.testing.assert_array_equal(serial, threaded)
+
+
 def test_large_random_fuzz():
     rng = np.random.default_rng(2)
     for trial in range(10):
