@@ -67,8 +67,8 @@ except AttributeError:  # pragma: no cover - non-CPython
 def part_nbytes(p: Part) -> int:
     if isinstance(p, Fill):
         return int(p.size)
-    if isinstance(p, np.ndarray):
-        return int(p.nbytes)
+    if isinstance(p, (np.ndarray, memoryview)):
+        return int(p.nbytes)  # len(memoryview) counts ELEMENTS, not bytes
     return len(p)
 
 

@@ -77,6 +77,14 @@ def test_join_empty_and_single():
     assert join([b"only"]) == b"only"
 
 
+def test_memoryview_nonbyte_itemsize():
+    # len(memoryview) counts elements; part_nbytes must count bytes
+    a = np.arange(6, dtype="<u4")
+    mv = memoryview(a)
+    assert parts_size([mv]) == 24
+    assert join([b"x", mv]) == b"x" + a.tobytes()
+
+
 def test_join_into_returns_offset():
     buf = np.zeros(10, np.uint8)
     n = join_into(buf, [b"abc", np.array([1, 2], np.uint8)])
