@@ -612,28 +612,9 @@ def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
 def serialize_prepared_parts(n: int, K: int, E: int, sb: int, C: int, crl,
                              base, resid2d, resid_rows) -> list:
     """encode_core_zz result as bytesink parts (exception-free blob).
-    The residual payload is a Fill: band compaction writes straight into
-    the final blob region (single copy after the device fetch)."""
-    from .huffman import device_get_prefix
-
-    rows_i = int(resid_rows)
-    NB = _pad_to(n, sb) // BS
-    NC = NB // C
-    crl_h = np.asarray(crl)
-    rl_h = crl_h.astype(np.uint8)
-    if NC % 2:
-        rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
-    nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    # the non-contiguous [:, :K] slice rides as-is: bytesink strided-copies
-    # it into the blob without a staging buffer
-    base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
-    resid_flat = device_get_prefix(
-        resid2d.reshape(-1), rows_i * LANES
-    ).astype(np.uint32)
-    words = resid_wire_words(crl_h, E, C, sb)
-    head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, 0)
-    return ([head, nib.astype(np.uint8), base_h]
-            + _compact_resid_fills(resid_flat, crl_h, E, C, sb))
+    The residual payload is written by Fills: band compaction targets the
+    final blob region directly (single copy after the device fetch)."""
+    return _blob_parts(n, K, E, sb, C, crl, base, resid2d, resid_rows, 0)
 
 
 def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
@@ -783,22 +764,42 @@ def _compact_resid_into(out: np.ndarray, resid_flat: np.ndarray,
         o += _compact_sb(out[o:], resid_flat, cnt, rband, band_start, C, s)
 
 
-def _compact_resid_fills(resid_flat: np.ndarray, crl_h: np.ndarray, E: int,
-                         C: int, sb: int) -> list:
-    """Residual compaction as one bytesink Fill PER superblock — disjoint
-    destination ranges, so multi-core hosts assemble them in parallel."""
+def _blob_parts(n: int, K: int, E: int, sb: int, C: int, crl, base,
+                resid2d, resid_rows, exc_cnt: int) -> list:
+    """Common BFP blob assembly shared by serialize_prepared_parts and
+    serialize_device_parts: header (with exc_cnt), nibble-packed sidecar,
+    base planes (the non-contiguous [:, :K] slice rides as-is — bytesink
+    strided-copies it into the blob with no staging buffer), and the
+    residual payload as one bytesink Fill PER superblock (disjoint
+    destination ranges, so multi-core hosts assemble them in parallel).
+    Band geometry is computed once for the word count and the fills."""
+    from .huffman import device_get_prefix
     from ..utils.bytesink import Fill
 
+    rows_i = int(resid_rows)
+    NB = _pad_to(n, sb) // BS
+    NC = NB // C
+    crl_h = np.asarray(crl)
+    rl_h = crl_h.astype(np.uint8)
+    if NC % 2:
+        rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
+    nib = rl_h[0::2] | (rl_h[1::2] << 4)
+    base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
+    resid_flat = device_get_prefix(
+        resid2d.reshape(-1), rows_i * LANES
+    ).astype(np.uint32)
     cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
+    words = int(cnt.sum()) * C
+    head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, exc_cnt)
+    parts = [head, nib.astype(np.uint8), base_h]
     words_sb = cnt.sum(1) * C
-    fills = []
     for s in range(cnt.shape[0]):
         w = int(words_sb[s])
         if not w:
             continue
-        fills.append(Fill(4 * w, lambda d, s=s: _compact_sb(
+        parts.append(Fill(4 * w, lambda d, s=s: _compact_sb(
             d.view("<u4"), resid_flat, cnt, rband, band_start, C, s)))
-    return fills
+    return parts
 
 
 def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
@@ -942,25 +943,11 @@ def serialize_device_parts(state) -> list:
         out = encode_core(sym, K, E, sb, exc_cap, use_pallas, C)
         base, rl, resid2d, resid_rows, exc_ids, exc_blocks, exc_count = out
         cnt = int(exc_count)
-    rows_i = int(resid_rows)
-    NC = NB // C
-    crl_h = np.asarray(rl)  # (NC,) chunk residual lengths
-    rl_h = crl_h.astype(np.uint8)
-    if NC % 2:
-        rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
-    nib = rl_h[0::2] | (rl_h[1::2] << 4)
-    base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
-    resid_flat = device_get_prefix(
-        resid2d.reshape(-1), rows_i * LANES
-    ).astype(np.uint32)
-    words = resid_wire_words(crl_h, E, C, sb)
     ids_h = device_get_prefix(exc_ids, cnt).astype("<u4")
     blk_h = np.asarray(exc_blocks[:cnt]) if cnt else np.zeros(
         (0, C * BS), "<i4"
     )
-    head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, cnt)
-    return ([head, nib.astype(np.uint8), base_h]
-            + _compact_resid_fills(resid_flat, crl_h, E, C, sb)
+    return (_blob_parts(n, K, E, sb, C, rl, base, resid2d, resid_rows, cnt)
             + [ids_h, blk_h])
 
 

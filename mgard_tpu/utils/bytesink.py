@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import sys
 from typing import Callable, List, NamedTuple, Union
 
 import numpy as np
@@ -77,7 +78,12 @@ def parts_size(parts) -> int:
 
 
 def _write_array(dst_u8: np.ndarray, src: np.ndarray) -> None:
-    if src.dtype.byteorder == ">":  # wire format is little-endian
+    # wire format is little-endian: normalize explicit '>' AND native
+    # order on big-endian hosts (byteorder '=' there is also BE)
+    if src.dtype.byteorder == ">" or (
+        src.dtype.byteorder == "=" and sys.byteorder == "big"
+        and src.dtype.itemsize > 1
+    ):
         src = src.astype(src.dtype.newbyteorder("<"))
     if src.flags.c_contiguous:
         dst_u8[:] = src.reshape(-1).view(np.uint8)
@@ -104,6 +110,7 @@ def join_into(out: np.ndarray, parts, threads: int | None = None) -> int:
     total byte count written. Parts target disjoint regions, so big
     streams are written by a thread pool when ``threads`` (default: the
     MGARD_TPU_SERIALIZE_THREADS env knob, capped at 4) allows."""
+    parts = list(parts)  # one-shot iterators are walked twice below
     offs, o = [], 0
     for p in parts:
         offs.append(o)
@@ -126,6 +133,7 @@ def join_into(out: np.ndarray, parts, threads: int | None = None) -> int:
 
 def join(parts) -> bytes:
     """Assemble parts into one ``bytes`` with a single copy per byte."""
+    parts = list(parts)  # guard one-shot iterators: sized twice below
     total = parts_size(parts)
     if not _HAVE_CAPI:  # pragma: no cover - non-CPython
         buf = np.empty(total, np.uint8)
