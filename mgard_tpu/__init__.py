@@ -51,6 +51,7 @@ __all__ = [
     "domain_decomposition_type",
     "error_bound_type",
     "lossless_type",
+    "norm",
 ]
 
 
@@ -60,4 +61,9 @@ def __getattr__(name):
         from . import highlevel
 
         return getattr(highlevel, name)
+    if name == "norm":
+        # mgard::norm parity (reference include/mgard/TensorNorms.hpp)
+        from .ops.norms import norm
+
+        return norm
     raise AttributeError(f"module 'mgard_tpu' has no attribute {name!r}")

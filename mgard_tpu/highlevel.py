@@ -705,6 +705,23 @@ def compress(
         if config.compressor == compressor_type.ZFP:
             return _compress_zfp_path(arr, tol, s, mode, config, dt, shape)
 
+        if coords is None and not s_inf and s < 0:
+            # Negative-s bounds on uniform grids route through the
+            # geometry-TRUE (non-uniform) dist chain. The uniform chain
+            # re-spreads coarse spacing evenly on even axes (reference
+            # reduce_dist uniform branch, Hierarchy.hpp:88-140) — a
+            # transition-stencil approximation under which the achieved
+            # error, measured in the true-mesh s-norm (ops/norms.py),
+            # exceeds tol by up to ~3.8x at s=-1.5 on even shapes; with
+            # true geometry the bound holds with margin (measured 0.73
+            # worst over s in {-1.5,-1,-0.5} x tol {1e-1..1e-3}, 34^2).
+            # Positive/zero s and L-inf are insensitive to the convention.
+            coords = [
+                np.linspace(0.0, 1.0, n) if config.normalize_coordinates
+                else np.arange(n, dtype=np.float64)
+                for n in shape
+            ]
+
         adjusted = False
         if config.adjust_shape and coords is None:
             new_shape = adjust_shape(shape)
