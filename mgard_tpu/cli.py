@@ -100,6 +100,19 @@ def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size):
     print(f"[info] {kind} L_inf error: {actual:.6e} ({ok})")
     print(f"[info] L_2 error: {l2:.6e}")
     print(f"[info] PSNR: {psnr:.2f} dB")
+    import math as _math
+
+    if not _math.isinf(s) and v.size <= (1 << 24):
+        # the norm the finite-s bound is actually certified in (gated by
+        # size: the host-side evaluator is O(ndof) per level with
+        # sequential tridiagonal sweeps)
+        from mgard_tpu.ops.norms import norm as _snorm
+
+        es = _snorm(np.asarray(v, np.float64) - np.asarray(out, np.float64), s)
+        rel_s = es / max(_snorm(np.asarray(v, np.float64), s), 1e-300) \
+            if mode == error_bound_type.REL else es
+        oks = "Satisfied" if rel_s <= tol else "NOT satisfied"
+        print(f"[info] s-norm error (s={s:g}): {rel_s:.6e} ({oks})")
     print(f"[info] Compression ratio: {v.nbytes / comp_size:.2f}")
     if t_comp:
         print(f"[info] Compression throughput: {v.nbytes/t_comp/1e9:.3f} GB/s ({t_comp*1e3:.0f} ms)")

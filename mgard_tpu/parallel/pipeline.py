@@ -208,6 +208,18 @@ def compress_sharded(
     from ..hierarchy import get_hierarchy
 
     config = config or Config()
+    if not math.isinf(s) and s < 0:
+        # the sharded path builds uniform hierarchies only; the uniform
+        # dist chain's even-axis re-spread breaks the negative-s bound in
+        # the true-mesh s-norm (see highlevel.compress's geometry-true
+        # routing + COVERAGE.md r4 finding). Route via the single-device
+        # API, which carries explicit coords, rather than ship a stream
+        # with a silently weaker certificate.
+        raise ValueError(
+            "compress_sharded does not support negative s; use "
+            "mgard_tpu.compress (it routes through the geometry-true "
+            "non-uniform chain)"
+        )
     if not _raw_symbol_backend(config.lossless):
         raise ValueError(
             "compress_sharded runs the raw-symbol (BFX/BFP-class) pipeline; "

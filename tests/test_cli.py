@@ -33,6 +33,24 @@ def test_cli_compress_decompress(field, backend, capsys):
     assert "Satisfied" in stats
 
 
+def test_cli_finite_s_reports_snorm(field, capsys):
+    """Finite-s round trips report the error in the certified s-norm
+    (reference mgard-x.cpp prints L_inf/L_2; the s-norm line is the norm
+    the finite-s bound actually holds in)."""
+    v, path, tmp = field
+    blob_path = str(tmp / "data.mgard")
+    out_path = str(tmp / "out.raw")
+    cli_main(["-z", "-i", path, "-o", blob_path, "-dt", "s",
+              "-dim", "3", "33", "21", "9", "-em", "rel", "-e", "1e-2",
+              "-s", "0", "-l", "bfx"])
+    cli_main(["-x", "-i", blob_path, "-o", out_path, "-g", path, "-v", "1"])
+    stats = capsys.readouterr().out
+    line = [ln for ln in stats.splitlines() if "s-norm error" in ln]
+    assert line, stats
+    assert "(s=0)" in line[0]
+    assert "NOT satisfied" not in line[0]
+
+
 def test_cli_zfp_compressor(field):
     v, path, tmp = field
     blob_path = str(tmp / "data.zfp")

@@ -96,6 +96,16 @@ def test_sharded_rejects_tiny_leading_dim(mesh):
         compress_sharded(v, tol=1e-2, mesh=mesh)
 
 
+def test_sharded_rejects_negative_s(mesh):
+    # negative s needs the geometry-true non-uniform dist chain (see
+    # highlevel.compress routing); the sharded path builds uniform
+    # hierarchies only, so it must refuse rather than ship a stream with
+    # a silently weaker certificate.
+    v = _field((8 * 2, 9, 9))
+    with pytest.raises(ValueError, match="negative s"):
+        compress_sharded(v, tol=1e-2, s=-1.0, mesh=mesh)
+
+
 def test_sharded_rejects_non_bfx_config(mesh):
     v = _field((8 * 2, 9, 9))
     cfg = mgard_tpu.Config()
