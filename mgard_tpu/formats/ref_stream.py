@@ -143,16 +143,23 @@ def parse_header(blob: bytes) -> RefHeader:
     if blob[: len(SIGNATURE)] != SIGNATURE:
         raise FormatError("not a reference MGARD stream (bad signature)")
     p = len(SIGNATURE)
-    (hsize,) = struct.unpack_from("<Q", blob, p)
-    p += 8
-    (crc,) = struct.unpack_from("<I", blob, p)
-    p += 4
-    body = bytes(blob[p : p + hsize])
-    if len(body) != hsize:
-        raise FormatError("truncated reference header")
-    if (zlib.crc32(body) & 0xFFFFFFFF) != crc:
-        raise FormatError("reference header CRC32 mismatch")
-    total_header = p + hsize
+    # The MGARD-X generation serializes header size/CRC little-endian
+    # (mgard-x/Metadata); the CPU generation big-endian (src/mgard/
+    # format.cpp serialize<> shifts bytes out MSB-first). Accept whichever
+    # order the CRC32 validates.
+    body = None
+    for order in ("<", ">"):
+        (hsize,) = struct.unpack_from(order + "Q", blob, p)
+        (crc,) = struct.unpack_from(order + "I", blob, p + 8)
+        cand = bytes(blob[p + 12 : p + 12 + hsize])
+        if len(cand) == hsize and (zlib.crc32(cand) & 0xFFFFFFFF) == crc:
+            body = cand
+            break
+    if body is None:
+        raise FormatError(
+            "truncated reference header or header CRC32 mismatch"
+        )
+    total_header = p + 12 + hsize
 
     top = _parse_message(body)
     # Header field numbers (reference: src/mgard.proto:175-193)
@@ -545,11 +552,17 @@ def decompress_reference(blob: bytes):
     from ..highlevel import _decompress_core_sym, infer_orthogonal_projection
 
     h = parse_header(blob)
+    if h.compressor in (ENC_CPU_HUFFMAN_ZLIB, ENC_CPU_HUFFMAN_ZSTD):
+        # older CPU-generation stream (mgard::compress): CPU-Huffman +
+        # zstd/zlib payload, shuffled-order quantization, CPU-convention
+        # transform — decoded host-side by formats.cpu_stream
+        from .cpu_stream import decompress_cpu
+
+        return decompress_cpu(blob, h), h
     if h.compressor not in (ENC_X_LZ4, ENC_X_HUFFMAN, ENC_X_HUFFMAN_LZ4,
                             ENC_X_HUFFMAN_ZSTD):
         names = {
             ENC_X_BLOCK_DELTA: "X_BLOCK_DELTA",
-            ENC_CPU_HUFFMAN_ZSTD: "CPU_HUFFMAN_ZSTD",
             ENC_X_SYMBOL_RANS: "X_SYMBOL_RANS",
             ENC_X_ZERORLE_RANS: "X_ZERORLE_RANS",
         }
