@@ -465,6 +465,79 @@ def decompose_cpu(u_phys: np.ndarray, hier: CpuHierarchy) -> np.ndarray:
 
 
 # ----------------------------------------------------------------------
+# WRITE side: emit CPU-generation streams the reference library reads
+# ----------------------------------------------------------------------
+def _serialize_cpu_header(hier: CpuHierarchy, dtype, s: float, tol: float,
+                          coords: Optional[Sequence[np.ndarray]]) -> bytes:
+    """Binary preamble + proto3 header for a CPU-generation stream
+    (big-endian size/CRC framing per src/mgard/format.cpp serialize<>;
+    field values mirror populate_defaults + compress.tpp:45-56)."""
+    from .ref_stream import (
+        SIGNATURE,
+        _w_dfield,
+        _w_msg,
+        _w_packed_u64,
+        _w_varint,
+        _w_vfield,
+    )
+
+    D = len(hier.shape)
+    topo = _w_vfield(1, D) + _w_packed_u64(2, hier.shape)
+    domain = _w_msg(2, topo)
+    if coords is not None:
+        flat = np.concatenate([np.asarray(c, "<f8") for c in coords])
+        body = flat.tobytes()
+        geom = _w_varint(2 << 3 | 2) + _w_varint(len(body)) + body
+        domain += _w_vfield(3, 1) + _w_msg(4, geom)  # EXPLICIT_CUBE
+    dataset = (
+        _w_vfield(1, 1 if np.dtype(dtype) == np.float64 else 0)
+        + _w_vfield(2, 1)
+    )
+    # mode is always ABSOLUTE for mgard::compress (compress.tpp:46)
+    s_inf = math.isinf(s)
+    errctl = _w_vfield(2, 0 if s_inf else 1)  # L_INFINITY / S_NORM
+    if not s_inf and s != 0.0:
+        errctl += _w_dfield(3, s)
+    errctl += _w_dfield(5, tol)
+    quant = _w_vfield(1, 1) + _w_vfield(3, 3)  # COEFFICIENTWISE_LINEAR i64
+    enc = _w_vfield(1, 1) + _w_vfield(2, 1)  # SHUFFLE + CPU_HUFFMAN_ZLIB
+    body = (
+        _w_msg(2, _w_vfield(1, 1) + _w_vfield(2, 6))  # mgard_version 1.6
+        + _w_msg(3, _w_vfield(1, 1))  # file format 1.0
+        + _w_msg(4, domain)
+        + _w_msg(5, dataset)
+        + _w_msg(6, errctl)
+        + _w_msg(9, quant)
+        + _w_msg(11, enc)
+    )
+    return (SIGNATURE + struct.pack(">Q", len(body))
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body)
+
+
+def compress_cpu(data, tol: float, s: float = math.inf,
+                 coords: Optional[Sequence[np.ndarray]] = None) -> bytes:
+    """Compress into a reference CPU-generation stream
+    (``mgard::compress`` wire format, CPU_HUFFMAN_ZLIB payload = plain
+    zlib of the shuffled int64 quantized stream) that the reference CPU
+    library's own ``mgard::decompress`` reads within the certified bound.
+    Pinned by tests/golden/cpuwrite_* (generate_cpu_write.sh)."""
+    arr = np.ascontiguousarray(data)
+    if arr.dtype not in (np.float32, np.float64):
+        raise FormatError("CPU-generation streams carry float32/float64")
+    hier = CpuHierarchy(arr.shape, coords)
+    w = decompose_cpu(arr.astype(np.float64), hier)
+    quantum = _quantum_grid(hier, s, tol)
+    x = w / quantum
+    if np.any(np.abs(x) >= 2.0**62):
+        raise FormatError("value too large to be quantized (CPU format)")
+    q = np.trunc(np.copysign(0.5 + np.abs(x), x)).astype(np.int64)
+    q_shuf = q.ravel()[hier.shuffle_perm]
+    payload = zlib.compress(q_shuf.astype("<i8").tobytes(), 9)
+    header = _serialize_cpu_header(hier, arr.dtype, s, tol, coords)
+    return header + payload
+
+
+# ----------------------------------------------------------------------
 # End-to-end decode
 # ----------------------------------------------------------------------
 def decompress_cpu(blob: bytes, header) -> np.ndarray:

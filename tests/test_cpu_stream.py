@@ -113,6 +113,55 @@ def test_cpu_decompose_roundtrip_nondyadic():
     assert w.shape == v.shape
 
 
+_WRITE_CASES = [
+    ("3d151617_f64_sinf", "input_3d15x16x17_f64.bin", np.float64,
+     (15, 16, 17), np.inf, 1e-3, None),
+    ("3d151617_f64_s0", "input_3d15x16x17_f64.bin", np.float64,
+     (15, 16, 17), 0.0, 1e-3, None),
+    ("3d9917_f32_sinf", "input_3d9x9x17_f32.bin", np.float32,
+     (9, 9, 17), np.inf, 1e-3, None),
+    ("2d179_f64_nonuni", "cpu_input_2d179_f64_nonuni.bin", np.float64,
+     (17, 9), np.inf, 1e-3,
+     ("cpu_coords_2d179_f64_nonuni_d0.bin",
+      "cpu_coords_2d179_f64_nonuni_d1.bin")),
+]
+
+
+@pytest.mark.parametrize("case", _WRITE_CASES, ids=lambda c: c[0])
+def test_cpu_write_accepted_by_reference(case):
+    """Bidirectional interop for the CPU generation: cpuwrite_*.mgard was
+    WRITTEN by compress_cpu and cpuwrite_dec_*.bin is the REFERENCE CPU
+    library's own reconstruction of it (generate_cpu_write.sh). The
+    writer must still reproduce the committed bytes (so the pinned
+    reference acceptance applies to current code), and the reference's
+    reconstruction must hold the certified bound."""
+    from mgard_tpu.formats.cpu_stream import compress_cpu
+
+    tag, inp, dt, shape, s, tol, coord_files = case
+    v = np.fromfile(os.path.join(GOLD, inp), dt).reshape(shape)
+    coords = None
+    if coord_files:
+        coords = [np.fromfile(os.path.join(GOLD, c), np.float64)
+                  for c in coord_files]
+    blob = compress_cpu(v, tol, s, coords=coords)
+    with open(os.path.join(GOLD, f"cpuwrite_{tag}.mgard"), "rb") as f:
+        assert blob == f.read(), "writer bytes drifted from pinned stream"
+
+    ref_dec = np.fromfile(
+        os.path.join(GOLD, f"cpuwrite_dec_{tag}.bin"), dt
+    ).reshape(shape)
+    if np.isinf(s):
+        err = float(np.max(np.abs(ref_dec.astype(np.float64) - v)))
+        assert err <= tol
+
+    # our own decoder agrees with the reference's reconstruction
+    out, st = mgard_tpu.decompress(blob)
+    assert int(st) == 0
+    atol = 2e-6 if dt == np.float32 else 1e-12
+    np.testing.assert_allclose(out.astype(np.float64), ref_dec, rtol=0,
+                               atol=atol)
+
+
 def test_cpu_stream_truncation_fails_cleanly():
     """Truncated CPU streams must come back as a clean Failure status, not
     an uncaught exception or garbage output."""
