@@ -37,6 +37,7 @@ def print_usage(err: str = ""):
 \t\t (optional) -dd-size / --domain-decomposition-size <int>
 \t\t (optional) -coords / --coordinates <path to f64 coords file (concatenated per dim)>
 \t\t (optional) --ref-format: write a reference-library-compatible MGARD-X stream (X_LZ4)
+\t\t (optional) --ref-format-cpu: write an older CPU-generation reference stream (mgard::compress)
 \t\t (optional) -v / --verbose <0|1|2|3>
 \t -x / --decompress: decompress mode
 \t\t -i / --input <path to compressed data>
@@ -204,7 +205,18 @@ def main(argv=None):
                 off += nn
 
         t0 = time.time()
-        if _get(argv, "--ref-format", nargs=0):
+        if _get(argv, "--ref-format-cpu", nargs=0):
+            # write an older CPU-generation reference stream
+            # (formats/cpu_stream.compress_cpu; mgard::compress format)
+            from mgard_tpu.dtypes import error_bound_type as _ebt
+            from mgard_tpu.formats.cpu_stream import compress_cpu
+
+            if mode == _ebt.REL:
+                print_usage("--ref-format-cpu writes ABS bounds only "
+                            "(mgard::compress has no REL mode)")
+            blob, st = compress_cpu(v, tol, s, coords=coords), \
+                compress_status_type.Success
+        elif _get(argv, "--ref-format", nargs=0):
             # write a REFERENCE-library-compatible MGARD-X stream
             # (formats/ref_stream.compress_reference; X_LZ4 lossless)
             from mgard_tpu.formats.ref_stream import compress_reference

@@ -33,6 +33,22 @@ def test_cli_compress_decompress(field, backend, capsys):
     assert "Satisfied" in stats
 
 
+def test_cli_ref_format_cpu_roundtrip(field):
+    """-z --ref-format-cpu writes an older CPU-generation reference stream
+    that -x (via the sniffing cross-decoder) reads back within bound."""
+    v, path, tmp = field
+    blob_path = str(tmp / "data.mgard")
+    out_path = str(tmp / "out.raw")
+    cli_main(["-z", "-i", path, "-o", blob_path, "-dt", "s",
+              "-dim", "3", "33", "21", "9", "-em", "abs", "-e", "1e-3",
+              "-s", "inf", "--ref-format-cpu"])
+    blob = open(blob_path, "rb").read()
+    assert blob[:5] == b"MGARD" and blob[5:8] != b"TPU"
+    cli_main(["-x", "-i", blob_path, "-o", out_path])
+    out = np.fromfile(out_path, np.float32).reshape(v.shape)
+    assert np.max(np.abs(out - v)) <= 1e-3
+
+
 def test_cli_finite_s_reports_snorm(field, capsys):
     """Finite-s round trips report the error in the certified s-norm
     (reference mgard-x.cpp prints L_inf/L_2; the s-norm line is the norm
