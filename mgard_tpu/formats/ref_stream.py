@@ -386,10 +386,231 @@ def _canonical_decode_chunks(packed, woffs, bitlens, first, entry, keys,
     return out[:primary_count]
 
 
-def _decode_section(payload: bytes, compressor: int) -> np.ndarray:
+def _decode_x_blockdelta(payload: bytes) -> np.ndarray:
+    """Decode the reference's BlockDelta container into signed int64
+    symbols (reference: Lossless/BlockDelta/BlockDelta.hpp Serialize /
+    ComputeLayout layout, BlockDeltaKernels.hpp encoding: per-block
+    zigzag [delta] values LSB-first bit-packed at a per-block width;
+    Outlier mode peels wide values into (u16 pos, u64 zigzag) records).
+
+    Layout (natural alignment between sections): MGXBLKD\\0 | u64 n |
+    i32 block_size | u8 mode | u64 nblocks | u64 bitwidth_bytes |
+    u8 bitwidth[nblocks] | [Outlier: u64 oc_bytes | u16 oc[nblocks]] |
+    u64 packed_bytes | packed[] (each block byte-aligned, disjoint)."""
+    MODE_FIXED, MODE_OUTLIER = 0, 2
+
+    def _align(off, a):
+        return off if off % a == 0 else (off + a - 1) // a * a
+
+    if payload[:8] != b"MGXBLKD\x00":
+        raise FormatError("bad reference BlockDelta signature")
+    off = _align(8, 8)
+    (n,) = struct.unpack_from("<Q", payload, off)
+    off = _align(off + 8, 4)
+    (block_size,) = struct.unpack_from("<i", payload, off)
+    off += 4
+    mode = payload[off]
+    off = _align(off + 1, 8)
+    (nblocks,) = struct.unpack_from("<Q", payload, off)
+    off += 8
+    (bw_bytes,) = struct.unpack_from("<Q", payload, off)
+    off += 8
+    if bw_bytes != nblocks or block_size <= 0 or nblocks != -(-n // block_size):
+        raise FormatError("malformed reference BlockDelta header")
+    bw = np.frombuffer(payload, np.uint8, count=nblocks, offset=off)
+    off += nblocks
+    oc = None
+    if mode == MODE_OUTLIER:
+        off = _align(off, 8)
+        off += 8  # oc_bytes (redundant with nblocks)
+        off = _align(off, 2)
+        oc = np.frombuffer(payload, "<u2", count=nblocks, offset=off)
+        off += 2 * nblocks
+    off = _align(off, 8)
+    (packed_bytes,) = struct.unpack_from("<Q", payload, off)
+    off += 8
+    packed = np.frombuffer(payload, np.uint8, count=packed_bytes, offset=off)
+
+    # per-block byte counts -> exclusive-scan offsets (recomputed, as the
+    # reference's Deserialize does)
+    lens = np.minimum(block_size, n - np.arange(nblocks) * block_size)
+    main_bytes = (bw.astype(np.int64) * lens + 7) // 8
+    if mode == MODE_OUTLIER:
+        bc = 2 + main_bytes + oc.astype(np.int64) * 10
+    else:
+        bc = main_bytes
+    starts = np.zeros(nblocks, np.int64)
+    np.cumsum(bc[:-1], out=starts[1:])
+    if nblocks and starts[-1] + bc[-1] > packed.size:
+        raise FormatError("reference BlockDelta packed stream truncated")
+
+    out = np.empty(n, np.int64)
+    use_delta = mode != MODE_FIXED
+    for b in range(nblocks):
+        w = int(bw[b])
+        ln = int(lens[b])
+        base = int(starts[b]) + (2 if mode == MODE_OUTLIER else 0)
+        if w == 0:
+            z = np.zeros(ln, np.uint64)
+        else:
+            nb = (w * ln + 7) // 8
+            bits = np.unpackbits(packed[base : base + nb],
+                                 bitorder="little")[: w * ln]
+            weights = (np.uint64(1) << np.arange(w, dtype=np.uint64))
+            z = (bits.reshape(ln, w).astype(np.uint64) * weights).sum(
+                axis=1, dtype=np.uint64
+            )
+        if mode == MODE_OUTLIER and int(oc[b]):
+            rp = int(starts[b]) + 2 + int(main_bytes[b])
+            rec = packed[rp : rp + int(oc[b]) * 10]
+            pos = rec.reshape(-1, 10)[:, :2].copy().view("<u2").ravel()
+            val = rec.reshape(-1, 10)[:, 2:].copy().view("<u8").ravel()
+            z[pos.astype(np.int64)] = val
+        # unzigzag ((z>>1) ^ -(z&1)), then undo the delta chain
+        v = ((z >> np.uint64(1)) ^ (np.uint64(0) - (z & np.uint64(1)))).astype(
+            np.int64
+        )
+        if use_delta:
+            v = np.cumsum(v)
+        out[b * block_size : b * block_size + ln] = v
+    return out
+
+
+def _decode_x_rans(payload: bytes) -> np.ndarray:
+    """Decode one reference rANS container into its symbol stream
+    (reference: Lossless/rANS/Rans.hpp Serialize layout + RansDecode.hpp
+    DecodeFunctor semantics: static byte-renormalized 32-bit rANS, 2^23
+    lower bound, per-stream segments with the block-interleaved position
+    mapping RansStreamBase; ryg_rans construction).
+
+    Layout (natural alignment): MGXRANS | u64 scale_bits | u64 alphabet |
+    u64 original_length | u64 segment_size | u64 interleaved |
+    u64 num_segments | u64 stream_bytes | u16 hnorm[alphabet] |
+    u32 seg_offset[num_segments] | stream bytes.
+
+    All segments decode in lockstep (one numpy step per symbol slot with a
+    masked renormalization inner loop), the same chunk-vectorization as
+    `_canonical_decode_chunks`."""
+    if payload[:7] != b"MGXRANS":
+        raise FormatError("bad reference rANS signature")
+    (scale_bits, alphabet, n, S, interleaved, num_segments,
+     stream_bytes) = struct.unpack_from("<7Q", payload, 8)
+    off = 8 + 56
+    hnorm = np.frombuffer(payload, "<u2", int(alphabet), off)
+    off += 2 * int(alphabet)
+    off = (off + 3) // 4 * 4
+    seg_off = np.frombuffer(payload, "<u4", int(num_segments), off)
+    off += 4 * int(num_segments)
+    stream = np.frombuffer(payload, np.uint8, int(stream_bytes), off)
+    if interleaved:
+        raise FormatError(
+            "reference rANS shared-stream interleaved layout not supported"
+        )
+    freq = hnorm.astype(np.uint32)
+    cum = np.zeros(int(alphabet) + 1, np.uint32)
+    np.cumsum(freq, out=cum[1:])
+    if int(cum[-1]) != (1 << int(scale_bits)):
+        raise FormatError("reference rANS frequency table not normalized")
+    slot2sym = np.repeat(
+        np.arange(int(alphabet), dtype=np.uint32), freq.astype(np.int64)
+    )
+    L = np.uint32(1 << 23)
+    mask = np.uint32((1 << int(scale_bits)) - 1)
+    sb = np.uint32(scale_bits)
+    NL = 32
+    n = int(n)
+    S = int(S)
+    p = np.arange(int(num_segments), dtype=np.int64)
+    base = (p // NL) * (NL * S) + (p % NL)
+    count = np.where(base < n,
+                     np.minimum((n - 1 - base) // NL + 1, S), 0)
+    rp = seg_off.astype(np.int64)
+    x = np.full(p.size, L, np.uint32)
+    live = count > 0
+    if live.any():
+        r = rp[live]
+        x[live] = (stream[r].astype(np.uint32)
+                   | stream[r + 1].astype(np.uint32) << np.uint32(8)
+                   | stream[r + 2].astype(np.uint32) << np.uint32(16)
+                   | stream[r + 3].astype(np.uint32) << np.uint32(24))
+        rp[live] += 4
+    out = np.zeros(n, np.uint32)
+    for j in range(int(count.max()) if count.size else 0):
+        act = j < count
+        slot = x & mask
+        s = slot2sym[slot]
+        out[(base + j * NL)[act]] = s[act]
+        xn = freq[s] * (x >> sb) + slot - cum[s]
+        need = act & (xn < L)
+        while need.any():
+            xn[need] = (xn[need] << np.uint32(8)) | stream[rp[need]]
+            rp[need] += 1
+            need = act & (xn < L)
+        x = np.where(act, xn, x)
+    return out
+
+
+def _decode_x_symbolrans(payload: bytes) -> np.ndarray:
+    """Reference SymbolRans container -> UNSHIFTED signed int64 symbols
+    (reference: Lossless/SymbolRans/SymbolRans.hpp layout: MGXSRAN |
+    u64 n | u64 dict_size | u64 outlier_count | u64 rans_bytes |
+    u64 outlier_idx[] | i64 outlier_val[] | rANS container over the
+    dict_size alphabet). Outliers are scattered back, then the quantizer's
+    +dict/2 dictionary shift is undone (LinearQuantization.hpp:108-110)."""
+    if payload[:7] != b"MGXSRAN":
+        raise FormatError("bad reference SymbolRans signature")
+    n, dict_size, oc, rans_bytes = struct.unpack_from("<4Q", payload, 8)
+    off = 8 + 32
+    idx = np.frombuffer(payload, "<u8", int(oc), off)
+    off += 8 * int(oc)
+    val = np.frombuffer(payload, "<i8", int(oc), off)
+    off += 8 * int(oc)
+    sym = _decode_x_rans(payload[off : off + int(rans_bytes)])
+    if sym.size != int(n):
+        raise FormatError("reference SymbolRans length mismatch")
+    out = sym.astype(np.int64)
+    if int(oc):
+        out[idx.astype(np.int64)] = val
+    return out - int(dict_size) // 2
+
+
+def _decode_x_zerorle_rans(payload: bytes, dict_size: int) -> np.ndarray:
+    """Reference ZeroRLE+rANS composite -> UNSHIFTED signed int64 symbols.
+    The outer container is one byte-alphabet rANS stream whose decoded
+    payload is the zero-RLE blob (Lossless.hpp:167-174): MGXZRL0 |
+    u64 num_symbols | u64 original_length | u32 zero-run counts[] |
+    i64 nonzero symbols[]; position[s] = inclusive_scan(counts+1)-1
+    (ZeroDecode.hpp ZeroStrideFunctor). dict_size comes from the proto
+    header (the quantizer shift applies to this class too)."""
+    blob = _decode_x_rans(payload).astype(np.uint8).tobytes()
+    if blob[:7] != b"MGXZRL0":
+        raise FormatError("bad reference ZeroRLE signature")
+    ns, orig = struct.unpack_from("<2Q", blob, 8)
+    off = 8 + 16
+    counts = np.frombuffer(blob, "<u4", int(ns), off)
+    off += 4 * int(ns)
+    off = (off + 7) // 8 * 8
+    symbols = np.frombuffer(blob, "<i8", int(ns), off)
+    out = np.zeros(int(orig), np.int64)
+    if int(ns):
+        pos = np.cumsum(counts.astype(np.int64) + 1) - 1
+        if int(pos[-1]) >= int(orig):
+            raise FormatError("reference ZeroRLE positions out of range")
+        out[pos] = symbols
+    return out - int(dict_size) // 2
+
+
+def _decode_section(payload: bytes, compressor: int,
+                    dict_size: int = 8192) -> np.ndarray:
     """One subdomain section -> signed int64 quantized symbols."""
     if compressor == ENC_X_LZ4:
         return np.frombuffer(_decode_x_lz4(payload), "<i8").copy()
+    if compressor == ENC_X_BLOCK_DELTA:
+        return _decode_x_blockdelta(payload)
+    if compressor == ENC_X_SYMBOL_RANS:
+        return _decode_x_symbolrans(payload)
+    if compressor == ENC_X_ZERORLE_RANS:
+        return _decode_x_zerorle_rans(payload, dict_size)
     if compressor == ENC_X_HUFFMAN:
         return _decode_x_huffman(payload)
     if compressor == ENC_X_HUFFMAN_LZ4:
@@ -560,17 +781,13 @@ def decompress_reference(blob: bytes):
 
         return decompress_cpu(blob, h), h
     if h.compressor not in (ENC_X_LZ4, ENC_X_HUFFMAN, ENC_X_HUFFMAN_LZ4,
-                            ENC_X_HUFFMAN_ZSTD):
-        names = {
-            ENC_X_BLOCK_DELTA: "X_BLOCK_DELTA",
-            ENC_X_SYMBOL_RANS: "X_SYMBOL_RANS",
-            ENC_X_ZERORLE_RANS: "X_ZERORLE_RANS",
-        }
+                            ENC_X_HUFFMAN_ZSTD, ENC_X_BLOCK_DELTA,
+                            ENC_X_SYMBOL_RANS, ENC_X_ZERORLE_RANS):
         raise FormatError(
-            "reference stream uses lossless backend "
-            f"{names.get(h.compressor, h.compressor)}; this build cross-"
-            "decodes X_LZ4 and the Huffman-class backends — re-compress "
-            "with one of those or use the reference library"
+            "reference stream uses unknown lossless backend "
+            f"{h.compressor}; this build cross-decodes every class the "
+            "reference serializes (LZ4, Huffman[-LZ4/-Zstd], BlockDelta, "
+            "SymbolRans, ZeroRLE+rANS, CPU_HUFFMAN_*)"
         )
     if h.decomposition != "multidim":
         raise FormatError(
@@ -619,7 +836,8 @@ def decompress_reference(blob: bytes):
         p += 8
         payload = blob[p : p + sec_size]
         p += sec_size
-        sym = _decode_section(payload, h.compressor)
+        sym = _decode_section(payload, h.compressor,
+                              h.huff_dict_size or 8192)
         n_elems = int(np.prod(shp))
         if sym.size != n_elems:
             raise FormatError(

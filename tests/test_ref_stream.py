@@ -66,12 +66,13 @@ def test_reference_header_crc_detects_corruption():
 
 
 def test_reference_unsupported_backend_clean_error():
-    """A reference stream with a genuinely unsupported backend (ZeroRLE+rANS
-    wire format) must fail with a clear message, not garbage output."""
+    """A reference stream with an unknown backend id must fail with a clear
+    message, not garbage output. (Every id the reference actually
+    serializes is supported, so the forged id is an out-of-enum value.)"""
     blob, _ = _load(*CASES[0][:3])
     h = ref_stream.parse_header(blob)
-    # re-parse and surgically change Encoding.compressor 8 (X_LZ4) -> 10
-    # (X_ZERORLE_RANS) inside the protobuf body, then re-CRC the header
+    # re-parse and surgically change Encoding.compressor 8 (X_LZ4) -> 13
+    # (no such backend) inside the protobuf body, then re-CRC the header
     import zlib
 
     p = 5
@@ -84,11 +85,37 @@ def test_reference_unsupported_backend_clean_error():
     sub = body[idx + 2 : idx + 2 + ln]
     cidx = bytes(sub).find(bytes([2 << 3 | 0, ref_stream.ENC_X_LZ4]))
     assert cidx >= 0
-    body[idx + 2 + cidx + 1] = ref_stream.ENC_X_ZERORLE_RANS
+    body[idx + 2 + cidx + 1] = 13
     crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
     forged = blob[:13] + struct.pack("<I", crc) + bytes(body) + blob[17 + hsize:]
-    with pytest.raises(FormatError, match="X_ZERORLE_RANS"):
+    with pytest.raises(FormatError, match="unknown lossless backend"):
         ref_stream.decompress_reference(forged)
+
+
+@pytest.mark.parametrize("tag", [
+    "3d65_f32_bdfixed", "3d65_f32_bddelta", "3d65_f32_bdoutlier",
+    "3d65_f32_symrans", "3d65_f32_zrlerans",
+])
+def test_reference_alt_lossless_classes_decode(tag):
+    """The remaining reference lossless classes (BlockDelta fixed/delta/
+    outlier wire format, SymbolRans, ZeroRLE+rANS) cross-decode: goldens
+    written by the reference SERIAL build (generate_ref_blobs2.sh) must
+    match the reference's OWN decompressor to f32 rounding and hold the
+    certified bound. With these, every lossless class the reference can
+    serialize is readable."""
+    with open(os.path.join(GOLD, f"ref_blob_{tag}.mgard"), "rb") as f:
+        blob = f.read()
+    ref_own = np.fromfile(
+        os.path.join(GOLD, f"ref_dec_{tag}.bin"), np.float32
+    ).reshape(65, 65, 65)
+    v = np.fromfile(
+        os.path.join(GOLD, "ref_input_3d65_f32_lz4_abs.bin"), np.float32
+    ).reshape(65, 65, 65)
+    out, st = mgard_tpu.decompress(blob)
+    assert int(st) == 0
+    np.testing.assert_allclose(out.astype(np.float64), ref_own, rtol=0,
+                               atol=1e-6)
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= 1e-3
 
 
 def test_reference_s0_blob_holds_l2_bound():
