@@ -255,10 +255,7 @@ def decode_huffman_cpu(payload: bytes, ndof: int, zstd: bool) -> np.ndarray:
     miss = np.frombuffer(raw, "<i4", offset=tree_size + hit_bytes)
 
     qv, left, right, root = _build_tree(freq)
-    bits = _bitstream(hit)
     out = np.empty(ndof, np.int64)
-    pos = 0
-    mi = 0
     half = NQL // 2
     if left[root] < 0:
         # degenerate single-symbol tree: zero bits per symbol
@@ -270,7 +267,59 @@ def decode_huffman_cpu(payload: bytes, ndof: int, zstd: bool) -> np.ndarray:
                 raise FormatError("CPU-Huffman miss stream underrun")
             out[:] = miss[:ndof].astype(np.int64) - half
         return out
+    pos = _walk(hit, hit_bits, qv, left, right, root, miss, half, out)
+    if pos != hit_bits:
+        raise FormatError("CPU-Huffman bitstream length mismatch")
+    return out
+
+
+def _walk(hit: bytes, hit_bits: int, qv, left, right, root: int,
+          miss: np.ndarray, half: int, out: np.ndarray) -> int:
+    """Per-symbol tree walk — a serial bit chain, so it runs in native C
+    (native/huffdec.cpp) with a pure-python fallback when no toolchain is
+    available. Returns the number of bits consumed."""
+    ndof = out.size
+    try:
+        import ctypes
+
+        from ..native import load
+
+        lib = load("huffdec")
+        lib.mgard_huffdec_cpu.restype = ctypes.c_int64
+        pad = (-len(hit)) % 4
+        buf = bytes(hit) + b"\x00" * pad
+        l32 = np.asarray(left, np.int32)
+        r32 = np.asarray(right, np.int32)
+        q32 = np.asarray(qv, np.int32)
+        m32 = np.ascontiguousarray(miss, np.int32)
+        rc = lib.mgard_huffdec_cpu(
+            buf, ctypes.c_int64(hit_bits),
+            l32.ctypes.data_as(ctypes.c_void_p),
+            r32.ctypes.data_as(ctypes.c_void_p),
+            q32.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int32(root), ctypes.c_int32(len(qv)),
+            m32.ctypes.data_as(ctypes.c_void_p),
+            ctypes.c_int64(m32.size), ctypes.c_int64(half),
+            out.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(ndof),
+        )
+        if rc == -1:
+            raise FormatError("CPU-Huffman bitstream underrun")
+        if rc == -2:
+            raise FormatError("CPU-Huffman miss stream underrun")
+        if rc == -3:
+            raise FormatError("corrupt CPU-Huffman tree")
+        return int(rc)
+    except ImportError:
+        pass
+    except Exception as exc:
+        from ..native import NativeBuildError
+
+        if not isinstance(exc, NativeBuildError):
+            raise
+    bits = _bitstream(bytes(hit))
     nbits = bits.size
+    pos = 0
+    mi = 0
     for k in range(ndof):
         n = root
         while left[n] >= 0:
@@ -286,9 +335,7 @@ def decode_huffman_cpu(payload: bytes, ndof: int, zstd: bool) -> np.ndarray:
                 raise FormatError("CPU-Huffman miss stream underrun")
             out[k] = int(miss[mi]) - half
             mi += 1
-    if pos != hit_bits:
-        raise FormatError("CPU-Huffman bitstream length mismatch")
-    return out
+    return pos
 
 
 # ----------------------------------------------------------------------
