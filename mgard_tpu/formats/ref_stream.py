@@ -789,10 +789,10 @@ def decompress_reference(blob: bytes):
             "reference serializes (LZ4, Huffman[-LZ4/-Zstd], BlockDelta, "
             "SymbolRans, ZeroRLE+rANS, CPU_HUFFMAN_*)"
         )
-    if h.decomposition != "multidim":
+    if h.decomposition not in ("multidim", "singledim"):
         raise FormatError(
             f"reference {h.decomposition} decomposition not supported for "
-            "cross-decoding (MultiDim only)"
+            "cross-decoding (MultiDim and SingleDim only)"
         )
 
     cfg = Config()
@@ -847,6 +847,25 @@ def decompress_reference(blob: bytes):
             [c[sl] for c, sl in zip(h.coords, sls)] if h.coords else None
         )
         hier = get_hierarchy(shp, h.dtype, sub_coords, cfg)
+        if h.decomposition == "singledim":
+            # the reference's SingleDim layout and boundary-guarded
+            # correction (ops/refactor.recompose_single_x) with the
+            # SingleDim quantizer constant (LinearQuantization.hpp:267-270)
+            from ..dtypes import decomposition_type as _dt
+            from ..ops import quantize as _Q
+            from ..ops.refactor import recompose_single_x
+
+            quant = hier.quantizers(
+                local_tol, h.s, h.norm, h.ebtype,
+                decomposition=_dt.SingleDim,
+            )
+            dec = np.asarray(_Q.dequantize_symbols(
+                jnp.asarray(sym.reshape(shp)), hier, jnp.asarray(quant),
+                s_inf,
+            ))
+            rec = recompose_single_x(dec.astype(np.float64), hier)
+            out[sls] = rec.astype(h.dtype)
+            continue
         quant = hier.quantizers(
             local_tol, h.s, h.norm, h.ebtype,
             orthogonal_projection=orthogonal,

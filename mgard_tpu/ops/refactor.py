@@ -461,6 +461,75 @@ def decompose_single(v, hier: Hierarchy, orthogonal: bool = True):
     return v
 
 
+def _mass_trans_single_x(coeff, d, al):
+    """The REFERENCE SingleDim mass-transfer along axis d (reference:
+    SingleDimension/Correction/MassTransKernel.hpp:66-112 + the LPK
+    mass_trans formula with a=c=e=0). Differs from our mass_restrict_axis
+    in its boundary guards: the last coarse node takes NO contribution
+    (b requires j < n_coeff, and the h windows stop at n_coeff+nc-1) —
+    a reference quirk that is self-consistent between its decompose and
+    recompose, so the cross-decoder must reproduce it exactly."""
+    nf, nc = al.n_fine, al.n_coarse
+    ncf = nf - nc
+    h = np.zeros(2 * nc + 2, np.float64)
+    hsrc = np.asarray(al.h_ext, np.float64)
+    h[: hsrc.size] = hsrc
+    j = np.arange(nc)
+    lim = ncf + nc - 1
+    c1 = (j > 0) & (2 * j < lim)
+    c2 = 2 * j < lim
+    h1 = np.where(c1, h[np.maximum(2 * j - 2, 0)], 0.0)
+    h2 = np.where(c1, h[np.maximum(2 * j - 1, 0)], 0.0)
+    h3 = np.where(c2, h[2 * j], 0.0)
+    h4 = np.where(c2, h[2 * j + 1], 0.0)
+
+    cm = np.moveaxis(np.asarray(coeff, np.float64), d, -1)
+    bsel = (j > 0) & (j < ncf)
+    dsel = j < ncf
+    b = np.zeros(cm.shape[:-1] + (nc,), np.float64)
+    dd = np.zeros_like(b)
+    b[..., bsel] = cm[..., (j[bsel] - 1)]
+    dd[..., dsel] = cm[..., j[dsel]]
+    out = 2 * b * (h1 / 6) + (b * h2 + dd * h3) / 6 + 2 * dd * (h4 / 6)
+    return np.moveaxis(out, -1, d)
+
+
+def recompose_single_x(u, hier: Hierarchy):
+    """Inverse of the REFERENCE library's SingleDim decomposition in its
+    own nested-box layout (reference: DataRefactoring/SingleDimension/
+    DataRefactoring.hpp:110-185 — per (level, dim) step the fine box has
+    dims > curr_dim still at the coarse level; coefficients sit at offset
+    level_shape(l, curr_dim) along curr_dim; the correction/lerp are the
+    same per-axis 1D operators as ours). Used by the cross-decoder for
+    reference-written SingleDim streams; our own SingleDim serialization
+    keeps the rotated-concat layout of decompose_single."""
+    v = np.asarray(u).copy()
+    D = hier.D
+    for l in range(hier.l_target):
+        for d in range(D):
+            fine_shape = tuple(
+                hier.level_shape[l][dd] if dd > d else hier.level_shape[l + 1][dd]
+                for dd in range(D)
+            )
+            al = hier.axis[l][d]
+            nf, nc = al.n_fine, al.n_coarse
+            box = v[tuple(slice(0, s) for s in fine_shape)].copy()
+            coarse = _be.sl(box, d, 0, nc)
+            coeff = _be.sl(box, d, nc, nf)
+            corr = tridiag_solve_axis(
+                _mass_trans_single_x(coeff, d, al), d, al
+            )
+            coarse = coarse - corr
+            n_coeff = nf - nc
+            left = _be.sl(coarse, d, 0, n_coeff)
+            right = _be.sl(coarse, d, 1, n_coeff + 1)
+            t = _be.asarray_like(al.lerp_t, box, _sd_bshape(box.ndim, d, n_coeff))
+            odd = coeff + ((left - left * t) + t * right)
+            fine = merge_axis(coarse, odd, d, nf)
+            v[tuple(slice(0, s) for s in fine_shape)] = fine
+    return v
+
+
 def recompose_single(v, hier: Hierarchy, orthogonal: bool = True):
     D = hier.D
     for l in range(1, hier.l_target + 1):

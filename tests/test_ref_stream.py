@@ -92,6 +92,59 @@ def test_reference_unsupported_backend_clean_error():
         ref_stream.decompress_reference(forged)
 
 
+@pytest.mark.parametrize(
+    "tag,shape",
+    [("335", (3, 3, 5)), ("559", (5, 5, 9)), ("5917", (5, 9, 17)),
+     ("59", (5, 9))],
+)
+def test_singledim_x_recompose_inverts_reference(tag, shape):
+    """recompose_single_x applied to the reference's own SingleDim
+    decomposed coefficients (sdx_*.bin, generate_sdim.sh) reproduces the
+    input to f64 eps — pinning the reference's (level, dim) loop order,
+    in-place nested layout, and its boundary-guarded mass transfer
+    (MassTransKernel.hpp: the last coarse node takes no contribution)."""
+    from mgard_tpu.hierarchy import get_hierarchy
+    from mgard_tpu.ops.refactor import recompose_single_x
+
+    dec = np.fromfile(os.path.join(GOLD, f"sdx_dec_{tag}.bin"),
+                      np.float64).reshape(shape)
+    inp = np.fromfile(os.path.join(GOLD, f"sdx_in_{tag}.bin"),
+                      np.float64).reshape(shape)
+    hier = get_hierarchy(shape, np.float64, None, mgard_tpu.Config())
+    rec = recompose_single_x(dec, hier)
+    np.testing.assert_allclose(rec, inp, rtol=0, atol=1e-12)
+
+
+def test_reference_singledim_stream_decodes():
+    """A reference-written SingleDim stream decodes through the public
+    mgard_tpu.decompress to f32-rounding parity with the reference's own
+    decompressor, within the certified bound."""
+    with open(os.path.join(GOLD, "ref_blob_3d65_f32_sdim.mgard"), "rb") as f:
+        blob = f.read()
+    ref_own = np.fromfile(
+        os.path.join(GOLD, "ref_dec_3d65_f32_sdim.bin"), np.float32
+    ).reshape(65, 65, 65)
+    v = np.fromfile(
+        os.path.join(GOLD, "ref_input_3d65_f32_lz4_abs.bin"), np.float32
+    ).reshape(65, 65, 65)
+    out, st = mgard_tpu.decompress(blob)
+    assert int(st) == 0
+    np.testing.assert_allclose(out.astype(np.float64), ref_own, rtol=0,
+                               atol=2e-6)
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= 1e-3
+
+
+def test_reference_hybrid_stream_clean_error():
+    """The reference Hybrid decomposition layout is not cross-decoded;
+    its streams must fail cleanly, not return garbage."""
+    with open(os.path.join(GOLD, "ref_blob_3d65_f32_hyb.mgard"), "rb") as f:
+        blob = f.read()
+    with pytest.raises(FormatError, match="hybrid"):
+        ref_stream.decompress_reference(blob)
+    out, st = mgard_tpu.decompress(blob)
+    assert out is None and int(st) != 0
+
+
 @pytest.mark.parametrize("tag", [
     "3d65_f32_bdfixed", "3d65_f32_bddelta", "3d65_f32_bdoutlier",
     "3d65_f32_symrans", "3d65_f32_zrlerans",
