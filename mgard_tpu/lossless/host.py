@@ -23,7 +23,19 @@ except ImportError:  # pragma: no cover
 
 def zstd_compress(data: bytes, level: int = 3) -> bytes:
     if _HAVE_ZSTD:
-        return _zstd.ZstdCompressor(level=level).compress(data)
+        # libzstd's own worker threads (standard single frame, any
+        # decoder reads it): the host stage scales with cores the same
+        # way the parts-assembly serializer does
+        # (MGARD_TPU_SERIALIZE_THREADS). threads=0 keeps the
+        # single-threaded fast path on 1-core rigs.
+        import os
+
+        threads = int(os.environ.get(
+            "MGARD_TPU_ZSTD_THREADS",
+            min(8, (os.cpu_count() or 1) - 1),
+        ))
+        return _zstd.ZstdCompressor(level=level,
+                                    threads=max(threads, 0)).compress(data)
     return zlib.compress(data, min(level + 3, 9))
 
 
