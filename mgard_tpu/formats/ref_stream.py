@@ -246,7 +246,12 @@ def _decode_x_lz4(payload: bytes) -> bytes:
     for i in range(nchunks):
         clen = int(comp_bytes[i])
         want = min(chunk_size, n - i * chunk_size)
-        out += _lz4.decompress(payload[off : off + clen], int(want))
+        try:
+            out += _lz4.decompress(payload[off : off + clen], int(want))
+        except RuntimeError as exc:
+            # the native decoder reports malformed/truncated blocks as a
+            # RuntimeError; surface it as a clean format failure
+            raise FormatError(f"corrupt reference LZ4 chunk: {exc}") from exc
         off += clen
     if len(out) != n:
         raise FormatError("reference LZ4 container length mismatch")

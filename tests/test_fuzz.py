@@ -102,3 +102,59 @@ def test_truncation_other_backends(lossless):
     n = len(blob)
     for L in range(0, n, max(1, n // 12)):
         _check(blob[:L], v.shape, v.dtype)
+
+
+# ----------------------------------------------------------------------
+# Reference-stream decoders (cross-decode paths) under corruption
+# ----------------------------------------------------------------------
+_REF_BLOBS = [
+    "ref_blob_3d65_f32_huf_abs.mgard",      # GPU-Huffman class
+    "ref_blob_3d65_f32_bdoutlier.mgard",    # BlockDelta outlier mode
+    "ref_blob_3d65_f32_symrans.mgard",      # SymbolRans (rANS container)
+    "ref_blob_3d65_f32_sdim.mgard",         # SingleDim decomposition
+    "cpu_stream_3d151617_f64_sinf.mgard",   # CPU generation (Huffman+zstd)
+]
+
+
+@pytest.mark.parametrize("name", _REF_BLOBS)
+def test_reference_stream_truncation_sweep(name):
+    """Truncated REFERENCE-written streams must come back as a clean
+    Failure through the public sniffing decompress — the cross-decoders
+    (Huffman walks, rANS renormalization, BlockDelta layout scans, CPU
+    container parsing) must never crash or hang on short input."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", name)
+    with open(path, "rb") as f:
+        blob = f.read()
+    n = len(blob)
+    points = sorted(set(
+        list(range(0, 64, 7)) + list(range(64, n, max(1, n // 12)))
+        + [n - 3, n - 1]
+    ))
+    for L in points:
+        out, st = mgard_tpu.decompress(blob[:L])
+        assert out is None and st != compress_status_type.Success, f"L={L}"
+
+
+@pytest.mark.parametrize("name", _REF_BLOBS)
+def test_reference_stream_byte_flip_sweep(name):
+    """Seeded single-byte flips across reference streams: header flips are
+    CRC-caught; payload flips may decode to wrong data (no CRC there, as
+    in the reference) but must not raise an uncaught exception or hang."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", name)
+    with open(path, "rb") as f:
+        blob = bytearray(f.read())
+    rng = np.random.RandomState(5)
+    n = len(blob)
+    for pos in sorted(rng.choice(n, size=24, replace=False)):
+        orig = blob[pos]
+        blob[pos] ^= 0x5A
+        out, st = mgard_tpu.decompress(bytes(blob))
+        if st == compress_status_type.Success:
+            assert out is not None
+        else:
+            assert out is None
+        blob[pos] = orig
