@@ -210,6 +210,33 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
     return result
 
 
+def _device_watchdog(timeout_s: float):
+    """Fail FAST when the TPU relay is down instead of hanging the caller:
+    jax initialization blocks indefinitely during relay outages on this
+    rig, so a daemon thread emits an error JSON line and kills the process
+    unless the first device query completes in time."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            print(json.dumps({
+                "metric": "device compress+decompress throughput",
+                "value": 0.0,
+                "unit": "GB/s",
+                "vs_baseline": 0.0,
+                "error": f"TPU unreachable after {timeout_s:.0f}s "
+                         "(relay outage); bench aborted",
+            }))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 if __name__ == "__main__":
     n = 512
     chunk = 0
@@ -221,4 +248,13 @@ if __name__ == "__main__":
             chunk = int(a.split("=")[1])
         if a.startswith("--sb="):
             sb = int(a.split("=")[1])
+    import os
+
+    ready = _device_watchdog(
+        float(os.environ.get("MGARD_TPU_BENCH_DEVICE_TIMEOUT", "600"))
+    )
+    import jax
+
+    jax.devices()  # blocks during relay outages; watchdog covers it
+    ready.set()
     run(n, chunk=chunk, sb=sb)
