@@ -422,6 +422,8 @@ def _decode_x_blockdelta(payload: bytes) -> np.ndarray:
     off += 8
     if bw_bytes != nblocks or block_size <= 0 or nblocks != -(-n // block_size):
         raise FormatError("malformed reference BlockDelta header")
+    if mode > MODE_OUTLIER:
+        raise FormatError(f"unknown reference BlockDelta mode {mode}")
     bw = np.frombuffer(payload, np.uint8, count=nblocks, offset=off)
     off += nblocks
     oc = None
