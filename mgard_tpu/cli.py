@@ -80,9 +80,11 @@ _LOSSLESS = {
 }
 
 
-def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size):
+def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size, coords=None):
     """Round-trip statistics via utils.error_calculator (the reference's
     ErrorCalculator.h:22-120 print block in mgard-x.cpp:96-160)."""
+    import math
+
     from mgard_tpu.dtypes import error_bound_type
     from mgard_tpu.utils.error_calculator import (
         L_2_error,
@@ -101,17 +103,26 @@ def _stats(v, out, s, mode, tol, t_comp, t_decomp, comp_size):
     print(f"[info] {kind} L_inf error: {actual:.6e} ({ok})")
     print(f"[info] L_2 error: {l2:.6e}")
     print(f"[info] PSNR: {psnr:.2f} dB")
-    import math as _math
 
-    if not _math.isinf(s) and v.size <= (1 << 24):
+    if not math.isinf(s) and v.size <= (1 << 24):
         # the norm the finite-s bound is actually certified in (gated by
         # size: the host-side evaluator is O(ndof) per level with
-        # sequential tridiagonal sweeps)
+        # sequential tridiagonal sweeps). The true mesh matters: pass the
+        # compression coords so a graded grid is measured in its own norm.
         from mgard_tpu.ops.norms import norm as _snorm
 
-        es = _snorm(np.asarray(v, np.float64) - np.asarray(out, np.float64), s)
-        rel_s = es / max(_snorm(np.asarray(v, np.float64), s), 1e-300) \
-            if mode == error_bound_type.REL else es
+        es = _snorm(np.asarray(v, np.float64) - np.asarray(out, np.float64),
+                    s, coords=coords)
+        if mode == error_bound_type.REL:
+            # REL finite-s certifies against tol * ||v||_L2 (normalized) —
+            # the reference NormCalculator convention
+            # (highlevel.calculate_norm), NOT tol * ||v||_s
+            rel_s = es / max(
+                float(np.sqrt(np.mean(np.asarray(v, np.float64) ** 2))),
+                1e-300,
+            )
+        else:
+            rel_s = es
         oks = "Satisfied" if rel_s <= tol else "NOT satisfied"
         print(f"[info] s-norm error (s={s:g}): {rel_s:.6e} ({oks})")
     print(f"[info] Compression ratio: {v.nbytes / comp_size:.2f}")
@@ -239,7 +250,8 @@ def main(argv=None):
         if verbose >= 2:
             out, st2 = decompress(blob)
             if st2 == compress_status_type.Success:
-                _stats(v, out, s, mode, tol, t_comp, None, len(blob))
+                _stats(v, out, s, mode, tol, t_comp, None, len(blob),
+                       coords=coords)
     elif _get(argv, "-x", "--decompress", nargs=0):
         blob = open(infile, "rb").read()
         dcfg = Config()
@@ -255,11 +267,20 @@ def main(argv=None):
               f"in {t_decomp*1e3:.0f} ms")
         orig = _get(argv, "-g", "--original")
         if orig:
-            from mgard_tpu.formats.metadata import Metadata
+            from mgard_tpu.formats.metadata import FormatError, Metadata
 
-            meta, _ = Metadata.deserialize(blob)
             v = np.fromfile(orig, dtype=out.dtype)[: out.size].reshape(out.shape)
-            _stats(v, out, meta.s, meta.ebtype, meta.tol, None, t_decomp, len(blob))
+            try:
+                meta, _ = Metadata.deserialize(blob)
+                _stats(v, out, meta.s, meta.ebtype, meta.tol, None, t_decomp,
+                       len(blob), coords=getattr(meta, "coords", None))
+            except FormatError:
+                # reference-written stream: report via its proto header
+                from mgard_tpu.formats.ref_stream import parse_header
+
+                h = parse_header(blob)
+                _stats(v, out, h.s, h.ebtype, h.tol, None, t_decomp,
+                       len(blob), coords=h.coords)
     else:
         print_usage("need -z or -x")
 

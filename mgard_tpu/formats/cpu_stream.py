@@ -250,6 +250,8 @@ def decode_huffman_cpu(payload: bytes, ndof: int, zstd: bool) -> np.ndarray:
         raise FormatError("CPU-Huffman container size mismatch")
     if tree_size % 16:
         raise FormatError("malformed CPU-Huffman frequency table")
+    if miss_bytes % 4:
+        raise FormatError("malformed CPU-Huffman miss stream length")
     freq = np.frombuffer(raw, "<u8", count=tree_size // 8).reshape(-1, 2)
     hit = raw[tree_size : tree_size + hit_bytes]
     miss = np.frombuffer(raw, "<i4", offset=tree_size + hit_bytes)
@@ -597,6 +599,12 @@ def decompress_cpu(blob: bytes, header) -> np.ndarray:
     if header.compressor not in (ENC_CPU_HUFFMAN_ZLIB,
                                  ENC_CPU_HUFFMAN_ZSTD):
         raise FormatError("not a CPU-generation reference stream")
+    if (int(np.prod(header.shape, dtype=np.float64)) > (1 << 34)
+            or len(header.shape) > 7):
+        # forged-header guard (see ref_stream.decompress_reference)
+        raise FormatError(
+            f"implausible reference stream shape {header.shape}"
+        )
     hier = CpuHierarchy(header.shape, header.coords)
     payload = blob[header.header_bytes :]
     if header.compressor == ENC_CPU_HUFFMAN_ZSTD:

@@ -258,7 +258,7 @@ def _decode_x_lz4(payload: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_x_huffman(raw: bytes) -> np.ndarray:
+def _decode_x_huffman(raw: bytes, expected=None) -> np.ndarray:
     """Decode the reference's serialized GPU-Huffman stream into the
     UNSHIFTED signed int64 quantized symbols.
 
@@ -285,6 +285,7 @@ def _decode_x_huffman(raw: bytes) -> np.ndarray:
     p = _al(7, 8)
     (primary_count,) = struct.unpack_from("<Q", raw, p)
     p += 8
+    _check_declared("Huffman stream", primary_count, expected)
     dict_size, chunk_size = struct.unpack_from("<ii", raw, p)
     p += 8
     (huffmeta_size,) = struct.unpack_from("<Q", raw, p)
@@ -391,7 +392,7 @@ def _canonical_decode_chunks(packed, woffs, bitlens, first, entry, keys,
     return out[:primary_count]
 
 
-def _decode_x_blockdelta(payload: bytes) -> np.ndarray:
+def _decode_x_blockdelta(payload: bytes, expected=None) -> np.ndarray:
     """Decode the reference's BlockDelta container into signed int64
     symbols (reference: Lossless/BlockDelta/BlockDelta.hpp Serialize /
     ComputeLayout layout, BlockDeltaKernels.hpp encoding: per-block
@@ -424,6 +425,7 @@ def _decode_x_blockdelta(payload: bytes) -> np.ndarray:
         raise FormatError("malformed reference BlockDelta header")
     if mode > MODE_OUTLIER:
         raise FormatError(f"unknown reference BlockDelta mode {mode}")
+    _check_declared("BlockDelta stream", n, expected)
     bw = np.frombuffer(payload, np.uint8, count=nblocks, offset=off)
     off += nblocks
     oc = None
@@ -483,7 +485,8 @@ def _decode_x_blockdelta(payload: bytes) -> np.ndarray:
     return out
 
 
-def _decode_x_rans(payload: bytes) -> np.ndarray:
+def _decode_x_rans(payload: bytes, expected=None,
+                   expected_max=None) -> np.ndarray:
     """Decode one reference rANS container into its symbol stream
     (reference: Lossless/rANS/Rans.hpp Serialize layout + RansDecode.hpp
     DecodeFunctor semantics: static byte-renormalized 32-bit rANS, 2^23
@@ -502,6 +505,14 @@ def _decode_x_rans(payload: bytes) -> np.ndarray:
         raise FormatError("bad reference rANS signature")
     (scale_bits, alphabet, n, S, interleaved, num_segments,
      stream_bytes) = struct.unpack_from("<7Q", payload, 8)
+    _check_declared("rANS stream", n, expected)
+    if expected_max is not None and int(n) > int(expected_max):
+        raise FormatError(
+            f"reference rANS stream declares {int(n)} symbols, more than "
+            f"the {int(expected_max)} the header admits"
+        )
+    if not 1 <= int(scale_bits) <= 24 or not 1 <= int(alphabet) <= (1 << 20):
+        raise FormatError("implausible reference rANS parameters")
     off = 8 + 56
     hnorm = np.frombuffer(payload, "<u2", int(alphabet), off)
     off += 2 * int(alphabet)
@@ -557,7 +568,7 @@ def _decode_x_rans(payload: bytes) -> np.ndarray:
     return out
 
 
-def _decode_x_symbolrans(payload: bytes) -> np.ndarray:
+def _decode_x_symbolrans(payload: bytes, expected=None) -> np.ndarray:
     """Reference SymbolRans container -> UNSHIFTED signed int64 symbols
     (reference: Lossless/SymbolRans/SymbolRans.hpp layout: MGXSRAN |
     u64 n | u64 dict_size | u64 outlier_count | u64 rans_bytes |
@@ -567,12 +578,14 @@ def _decode_x_symbolrans(payload: bytes) -> np.ndarray:
     if payload[:7] != b"MGXSRAN":
         raise FormatError("bad reference SymbolRans signature")
     n, dict_size, oc, rans_bytes = struct.unpack_from("<4Q", payload, 8)
+    _check_declared("SymbolRans stream", n, expected)
     off = 8 + 32
     idx = np.frombuffer(payload, "<u8", int(oc), off)
     off += 8 * int(oc)
     val = np.frombuffer(payload, "<i8", int(oc), off)
     off += 8 * int(oc)
-    sym = _decode_x_rans(payload[off : off + int(rans_bytes)])
+    sym = _decode_x_rans(payload[off : off + int(rans_bytes)],
+                         expected=expected)
     if sym.size != int(n):
         raise FormatError("reference SymbolRans length mismatch")
     out = sym.astype(np.int64)
@@ -581,7 +594,8 @@ def _decode_x_symbolrans(payload: bytes) -> np.ndarray:
     return out - int(dict_size) // 2
 
 
-def _decode_x_zerorle_rans(payload: bytes, dict_size: int) -> np.ndarray:
+def _decode_x_zerorle_rans(payload: bytes, dict_size: int,
+                           expected=None) -> np.ndarray:
     """Reference ZeroRLE+rANS composite -> UNSHIFTED signed int64 symbols.
     The outer container is one byte-alphabet rANS stream whose decoded
     payload is the zero-RLE blob (Lossless.hpp:167-174): MGXZRL0 |
@@ -589,10 +603,14 @@ def _decode_x_zerorle_rans(payload: bytes, dict_size: int) -> np.ndarray:
     i64 nonzero symbols[]; position[s] = inclusive_scan(counts+1)-1
     (ZeroDecode.hpp ZeroStrideFunctor). dict_size comes from the proto
     header (the quantizer shift applies to this class too)."""
-    blob = _decode_x_rans(payload).astype(np.uint8).tobytes()
+    # the RLE blob cannot exceed a (u32 count, i64 symbol) pair per
+    # element plus slack (Lossless.hpp rle_rans_bound)
+    cap = None if expected is None else int(expected) * 12 + 64
+    blob = _decode_x_rans(payload, expected_max=cap).astype(np.uint8).tobytes()
     if blob[:7] != b"MGXZRL0":
         raise FormatError("bad reference ZeroRLE signature")
     ns, orig = struct.unpack_from("<2Q", blob, 8)
+    _check_declared("ZeroRLE blob", orig, expected)
     off = 8 + 16
     counts = np.frombuffer(blob, "<u4", int(ns), off)
     off += 4 * int(ns)
@@ -607,28 +625,48 @@ def _decode_x_zerorle_rans(payload: bytes, dict_size: int) -> np.ndarray:
     return out - int(dict_size) // 2
 
 
+def _check_declared(name: str, declared: int, expected) -> None:
+    """Reject header-declared element counts that disagree with the count
+    implied by the proto header's shape BEFORE allocating output — a tiny
+    forged blob must produce a clean FormatError, not a multi-TB
+    allocation (fuzz contract)."""
+    if expected is not None and int(declared) != int(expected):
+        raise FormatError(
+            f"reference {name} declares {int(declared)} symbols, the "
+            f"stream header implies {int(expected)}"
+        )
+
+
 def _decode_section(payload: bytes, compressor: int,
-                    dict_size: int = 8192) -> np.ndarray:
-    """One subdomain section -> signed int64 quantized symbols."""
+                    dict_size: int = 8192, expected=None) -> np.ndarray:
+    """One subdomain section -> signed int64 quantized symbols. `expected`
+    is the element count implied by the stream header's shape; decoders
+    validate their own declared sizes against it before allocating."""
     if compressor == ENC_X_LZ4:
+        if expected is not None and len(payload) > 0:
+            # container's declared raw size is at offset 8 (MGXLZ4P | n)
+            if len(payload) >= 16:
+                (nraw,) = struct.unpack_from("<Q", payload, 8)
+                _check_declared("LZ4 container", nraw // 8, expected)
         return np.frombuffer(_decode_x_lz4(payload), "<i8").copy()
     if compressor == ENC_X_BLOCK_DELTA:
-        return _decode_x_blockdelta(payload)
+        return _decode_x_blockdelta(payload, expected)
     if compressor == ENC_X_SYMBOL_RANS:
-        return _decode_x_symbolrans(payload)
+        return _decode_x_symbolrans(payload, expected)
     if compressor == ENC_X_ZERORLE_RANS:
-        return _decode_x_zerorle_rans(payload, dict_size)
+        return _decode_x_zerorle_rans(payload, dict_size, expected)
     if compressor == ENC_X_HUFFMAN:
-        return _decode_x_huffman(payload)
+        return _decode_x_huffman(payload, expected)
     if compressor == ENC_X_HUFFMAN_LZ4:
-        return _decode_x_huffman(_decode_x_lz4(payload))
+        return _decode_x_huffman(_decode_x_lz4(payload), expected)
     if compressor == ENC_X_HUFFMAN_ZSTD:
         # reference Zstd container: u64 raw size + zstd frame
         # (Lossless/Zstd.hpp Compress)
         from ..lossless.host import zstd_decompress
 
         (n,) = struct.unpack_from("<Q", payload, 0)
-        return _decode_x_huffman(zstd_decompress(payload[8:], int(n)))
+        return _decode_x_huffman(zstd_decompress(payload[8:], int(n)),
+                                 expected)
     raise FormatError(f"unsupported reference lossless backend {compressor}")
 
 
@@ -830,6 +868,12 @@ def decompress_reference(blob: bytes):
     else:
         raise FormatError("unsupported reference domain decomposition method")
 
+    if int(np.prod(h.shape, dtype=np.float64)) > (1 << 34) or len(h.shape) > 7:
+        # forged-header guard: a legitimate constant field can expand
+        # enormously, but 16 Gi elements / >7 dims is beyond anything the
+        # reference itself supports — fail before allocating the output
+        raise FormatError("implausible reference stream shape "
+                          f"{h.shape}")
     out = np.empty(h.shape, h.dtype)
     # the reference quantizes each subdomain at tol/sqrt(S) for finite-s
     # bounds (the L2 budget splits over independent subdomains; same rule
@@ -843,9 +887,9 @@ def decompress_reference(blob: bytes):
         p += 8
         payload = blob[p : p + sec_size]
         p += sec_size
-        sym = _decode_section(payload, h.compressor,
-                              h.huff_dict_size or 8192)
         n_elems = int(np.prod(shp))
+        sym = _decode_section(payload, h.compressor,
+                              h.huff_dict_size or 8192, expected=n_elems)
         if sym.size != n_elems:
             raise FormatError(
                 f"reference payload has {sym.size} symbols, expected {n_elems}"

@@ -23,17 +23,16 @@ except ImportError:  # pragma: no cover
 
 def zstd_compress(data: bytes, level: int = 3) -> bytes:
     if _HAVE_ZSTD:
-        # libzstd's own worker threads (standard single frame, any
-        # decoder reads it): the host stage scales with cores the same
-        # way the parts-assembly serializer does
-        # (MGARD_TPU_SERIALIZE_THREADS). threads=0 keeps the
-        # single-threaded fast path on 1-core rigs.
+        # Opt-in libzstd worker threads (standard single frame, any
+        # decoder reads it) via MGARD_TPU_ZSTD_THREADS. Default stays 0
+        # (single-threaded): multithreaded frames are not byte-identical
+        # across worker counts, and golden tests pin writer bytes.
         import os
 
-        threads = int(os.environ.get(
-            "MGARD_TPU_ZSTD_THREADS",
-            min(8, (os.cpu_count() or 1) - 1),
-        ))
+        try:
+            threads = int(os.environ.get("MGARD_TPU_ZSTD_THREADS", "0"))
+        except ValueError:
+            threads = 0
         return _zstd.ZstdCompressor(level=level,
                                     threads=max(threads, 0)).compress(data)
     return zlib.compress(data, min(level + 3, 9))

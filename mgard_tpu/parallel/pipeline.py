@@ -208,7 +208,7 @@ def compress_sharded(
     from ..hierarchy import get_hierarchy
 
     config = config or Config()
-    if not math.isinf(s) and s < 0:
+    if s < 0:  # includes s = -inf
         # the sharded path builds uniform hierarchies only; the uniform
         # dist chain's even-axis re-spread breaks the negative-s bound in
         # the true-mesh s-norm (see highlevel.compress's geometry-true
