@@ -83,6 +83,28 @@ def main(argv=None):
                 break
         s_arg = get("-s", "inf")
         s = math.inf if s_arg in ("inf", "infinity") else float(s_arg)
+        import os as _os
+
+        if _os.path.isdir(infile):
+            # a reference mdr-x DIRECTORY archive (header | metadata |
+            # component_*): cross-read it (formats/mdrx_stream.py)
+            from ..formats.mdrx_stream import reconstruct_mdrx
+
+            out = None
+            orig_path = get("-g")
+            for tol in tols:
+                out = reconstruct_mdrx(infile, tol, s)
+                msg = f"[info] tol={tol:.3e} (reference MDR-X archive)"
+                if orig_path:
+                    v = np.fromfile(orig_path, dtype=out.dtype)[
+                        : out.size].reshape(out.shape)
+                    err = float(np.max(np.abs(v - out)))
+                    msg += (f" actual_Linf={err:.3e} "
+                            f"({'OK' if err <= tol else 'MISS'})")
+                print(msg)
+            if out is not None:
+                out.tofile(outfile)
+            return
         meta, hdr_size = read_mdr_metadata(infile)
         orig_path = get("-g")
         total_fetched = 0

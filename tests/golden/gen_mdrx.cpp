@@ -1,0 +1,205 @@
+// MDR-X golden generator: refactor a small field with the REFERENCE
+// library's MDR-X high-level API (SERIAL backend) into its directory
+// format (header | metadata | component_{sub}_{level}_{bitplane}), then —
+// in a FRESH process, through the same file-based flow as the mdr-x
+// executable — reconstruct at a given tolerance and dump the reference's
+// OWN reconstruction as the oracle for the cross-reader
+// (mgard_tpu/formats/mdrx_stream.py). Build + run:
+// tests/golden/generate_mdrx.sh
+//
+// Reference entry points: mgard_x::MDR::MDRefactor / MDRequest /
+// MDReconstruct (include/mgard-x/MDRHighLevel/MDRHighLevel.hpp);
+// directory layout per src/mgard-x/Executables/mdr-x.cpp
+// write_mdr/read_mdr_metadata/read_mdr.
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <limits>
+#include <string>
+#include <sys/stat.h>
+#include <vector>
+
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CalcCoefficients3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CalcCoefficientsND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CoefficientsRestore3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CoefficientsRestoreND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Correction/CalcCorrection3D.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/Correction/CalcCorrectionND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/AddND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/CopyND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/CopyND/SubtractND.hpp"
+#include "mgard-x/DataRefactoring/MultiDimension/DataRefactoring.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Coefficient/CalcCoefficients.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Coefficient/CoefficientsRestore.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/Correction/CalcCorrection.hpp"
+#include "mgard-x/DataRefactoring/SingleDimension/DataRefactoring.hpp"
+#include "mgard-x/MDRHighLevel/MDRHighLevel.hpp"
+
+using namespace mgard_x;
+
+namespace {
+
+template <typename T>
+std::vector<T> make_field(const std::vector<std::size_t> &shape) {
+  std::size_t n = 1;
+  for (auto s : shape) n *= s;
+  std::vector<T> v(n);
+  std::vector<double> inv(shape.size());
+  for (std::size_t d = 0; d < shape.size(); ++d)
+    inv[d] = 1.0 / static_cast<double>(shape[d] - 1 ? shape[d] - 1 : 1);
+  for (std::size_t i = 0; i < n; ++i) {
+    std::size_t rem = i;
+    double acc = 0.0, prod = 1.0;
+    for (std::size_t d = shape.size(); d-- > 0;) {
+      const double x = static_cast<double>(rem % shape[d]) * inv[d];
+      rem /= shape[d];
+      acc += std::sin(2.0 * M_PI * (d + 1) * x);
+      prod *= std::cos(M_PI * x + 0.3 * (d + 1));
+    }
+    v[i] = static_cast<T>(acc + 0.5 * prod);
+  }
+  return v;
+}
+
+void dump(const std::string &path, const void *p, std::size_t bytes) {
+  std::FILE *f = std::fopen(path.c_str(), "wb");
+  std::fwrite(p, 1, bytes, f);
+  std::fclose(f);
+}
+
+std::vector<Byte> slurp(const std::string &path) {
+  std::FILE *f = std::fopen(path.c_str(), "rb");
+  if (!f) { std::printf("missing %s\n", path.c_str()); std::exit(2); }
+  std::fseek(f, 0, SEEK_END);
+  long n = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<Byte> out(n);
+  if (std::fread(out.data(), 1, n, f) != (std::size_t)n) std::exit(2);
+  std::fclose(f);
+  return out;
+}
+
+const std::vector<SIZE> kShape{33, 33, 33};
+
+Config make_config() {
+  Config config;
+  config.normalize_coordinates = false;
+  config.decomposition = decomposition_type::MultiDim;
+  config.total_num_bitplanes = 32;
+  return config;
+}
+
+int do_refactor() {
+  std::vector<std::size_t> shv(kShape.begin(), kShape.end());
+  auto v = make_field<float>(shv);
+  mkdir("mdrx", 0755);
+  Config config = make_config();
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  std::vector<SIZE> shp(kShape);
+  mgard_x::MDR::MDRefactor<3, float, SERIAL>(
+      shp, v.data(), refactored_metadata, refactored_data, config, false);
+
+  std::vector<Byte> serialized_metadata = refactored_metadata.Serialize();
+  dump("mdrx/header", refactored_metadata.header.data(),
+       refactored_metadata.header.size());
+  dump("mdrx/metadata", serialized_metadata.data(),
+       serialized_metadata.size());
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      for (std::size_t bp = 0; bp < md.level_sizes[l].size(); bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          dump("mdrx/component_" + std::to_string(sub) + "_" +
+                   std::to_string(l) + "_" + std::to_string(bp),
+               refactored_data.data[sub][l][bp], md.level_sizes[l][bp]);
+        }
+      }
+    }
+  }
+  dump("mdrx_input.bin", v.data(), v.size() * sizeof(float));
+  std::printf("refactored: %zu subdomains\n",
+              refactored_metadata.metadata.size());
+  return 0;
+}
+
+int do_reconstruct(double tol) {
+  Config config = make_config();
+  std::vector<SIZE> shp(kShape);
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  mgard_x::MDR::ReconstructedData reconstructed_data;
+
+  // read_mdr_metadata (mdr-x.cpp:227-238)
+  refactored_metadata.header = slurp("mdrx/header");
+  refactored_metadata.Deserialize(slurp("mdrx/metadata"));
+  refactored_metadata.InitializeForReconstruction();
+  refactored_data.InitializeForReconstruction(refactored_metadata);
+
+  for (auto &metadata : refactored_metadata.metadata) {
+    metadata.requested_tol = tol;
+    metadata.requested_s = std::numeric_limits<double>::infinity();
+  }
+  mgard_x::MDR::MDRequest<3, float, SERIAL>(shp, refactored_metadata, config);
+  for (auto &md : refactored_metadata.metadata) {
+    std::printf("requested planes:");
+    for (auto b : md.requested_level_num_bitplanes)
+      std::printf(" %d", (int)b);
+    std::printf("\n");
+  }
+
+  // read_mdr (mdr-x.cpp:185-226): load requested planes + zero signs.
+  // Buffers get generous slack: the level decompressor may use them as
+  // in-place scratch beyond the stored size.
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      int loaded = md.loaded_level_num_bitplanes[l];
+      int requested = md.requested_level_num_bitplanes[l];
+      for (int bp = loaded; bp < requested; bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          std::vector<Byte> blob =
+              slurp("mdrx/component_" + std::to_string(sub) + "_" +
+                    std::to_string(l) + "_" + std::to_string(bp));
+          Byte *buf = (Byte *)malloc(blob.size() * 4 + (1 << 16));
+          std::memcpy(buf, blob.data(), blob.size());
+          refactored_data.data[sub][l][bp] = buf;
+        }
+      }
+      refactored_data.level_signs[sub][l] =
+          (bool *)calloc(md.level_num_elems[l] + 4096, sizeof(bool));
+    }
+  }
+
+  mgard_x::MDR::MDReconstruct<3, float, SERIAL>(
+      shp, refactored_metadata, refactored_data, reconstructed_data, config,
+      false);
+
+  char name[64];
+  std::snprintf(name, sizeof(name), "mdrx_rec_%.0e.bin", tol);
+  std::size_t n = 33 * 33 * 33;
+  dump(name, reconstructed_data.data[0], n * sizeof(float));
+
+  auto v = make_field<float>(std::vector<std::size_t>(kShape.begin(),
+                                                      kShape.end()));
+  double linf = 0;
+  const float *r = (const float *)reconstructed_data.data[0];
+  for (std::size_t i = 0; i < n; i++)
+    linf = std::max(linf, std::abs((double)v[i] - r[i]));
+  std::printf("tol %.0e: reference reconstruction L_inf %.3e\n", tol, linf);
+  return 0;
+}
+
+} // namespace
+
+int main(int argc, char **argv) {
+  if (argc > 1 && std::string(argv[1]) == "refactor")
+    return do_refactor();
+  if (argc > 2 && std::string(argv[1]) == "reconstruct")
+    return do_reconstruct(std::atof(argv[2]));
+  std::printf("usage: gen_mdrx refactor | reconstruct <tol>\n");
+  return 2;
+}

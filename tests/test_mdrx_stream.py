@@ -1,0 +1,98 @@
+"""Cross-reading of reference MDR-X refactored-data directories.
+
+Goldens: tests/golden/mdrx/ is a directory archive written by the
+reference MDR-X SERIAL build itself (generate_mdrx.sh: 33^3 f32, default
+ComposedRefactor config), with the reference's OWN reconstructions at two
+tolerances as oracles. Pins the whole read pipeline: metadata struct
+parse, the greedy plane request (including the 4-plane group round-up),
+the RegisterBlock sign-magnitude bitplane decode, the LevelLinearizer
+reposition, and the hierarchical-basis recompose."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mgard_tpu.formats.mdrx_stream import (
+    read_metadata,
+    reconstruct_mdrx,
+    request_planes,
+)
+
+GOLD = os.path.join(os.path.dirname(__file__), "golden")
+ARCHIVE = os.path.join(GOLD, "mdrx")
+
+
+def _input():
+    return np.fromfile(os.path.join(GOLD, "mdrx_input.bin"),
+                       np.float32).reshape(33, 33, 33)
+
+
+def test_mdrx_metadata_parses():
+    md = read_metadata(ARCHIVE)[0]
+    assert int(md.num_levels) == 6 and int(md.num_bitplanes) == 32
+    assert int(md.level_num_elems[-1]) == 31024
+    assert int(md.level_num_elems.sum()) == 33 ** 3
+
+
+@pytest.mark.parametrize(
+    "tol,ref_name,ref_planes",
+    [
+        (1e-1, "mdrx_rec_1e-01.bin", [12, 12, 12, 12, 4, 4]),
+        (1e-3, "mdrx_rec_1e-03.bin", [20, 20, 20, 20, 12, 12]),
+    ],
+)
+def test_mdrx_reconstruction_matches_reference(tol, ref_name, ref_planes):
+    """Our greedy request must pick exactly the planes the reference's
+    GenerateRequest picks, and the reconstruction must match the
+    reference's own progressive reconstruction to f32 rounding while
+    holding the requested bound against the original data."""
+    md = read_metadata(ARCHIVE)[0]
+    assert request_planes(md, tol) == ref_planes
+    out = reconstruct_mdrx(ARCHIVE, tol)
+    ref = np.fromfile(os.path.join(GOLD, ref_name),
+                      np.float32).reshape(33, 33, 33)
+    np.testing.assert_allclose(out.astype(np.float64), ref, rtol=0,
+                               atol=1e-6)
+    v = _input()
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= tol
+
+
+def test_mdrx_progressive_improves_with_planes():
+    """More planes per level must monotonically reduce the error."""
+    v = _input()
+    errs = []
+    for planes in ([4] * 6, [8] * 6, [16] * 6):
+        out = reconstruct_mdrx(ARCHIVE, 1.0, planes=planes)
+        errs.append(float(np.max(np.abs(out.astype(np.float64) - v))))
+    assert errs[0] > errs[1] > errs[2]
+
+
+def test_mdrx_cli_roundtrip(tmp_path, capsys):
+    """mdr-tpu -x on a reference directory archive reconstructs within
+    bound through the CLI."""
+    from mgard_tpu.mdr.cli import main as mdr_main
+
+    inp = os.path.join(GOLD, "mdrx_input.bin")
+    out_path = str(tmp_path / "out.raw")
+    mdr_main(["-x", "-i", ARCHIVE, "-o", out_path, "-e", "1e-2",
+              "-g", inp])
+    printed = capsys.readouterr().out
+    assert "OK" in printed
+    out = np.fromfile(out_path, np.float32).reshape(33, 33, 33)
+    assert float(np.max(np.abs(out - _input()))) <= 1e-2
+
+
+def test_mdrx_corrupt_fails_cleanly(tmp_path):
+    """A truncated component must raise FormatError, not crash."""
+    import shutil
+
+    from mgard_tpu.formats.metadata import FormatError
+
+    bad = tmp_path / "mdrx"
+    shutil.copytree(ARCHIVE, bad)
+    comp = bad / "component_0_5_0"
+    comp.write_bytes(comp.read_bytes()[:100])
+    with pytest.raises(FormatError):
+        reconstruct_mdrx(str(bad), 1e-3)
