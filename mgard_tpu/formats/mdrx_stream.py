@@ -173,8 +173,11 @@ def request_planes(md: MDRXMetadata, tol: float) -> List[int]:
             gain = float(errors[i][index[i]]) - float(errors[i][index[i] + 1])
             size = float(md.level_sizes[i][index[i]])
             push(gain / size if size else math.inf, i)
-    # round up to whole 4-plane groups (ComposedReconstructor.hpp:288-295)
-    return [0 if k == 0 else -(-k // _GROUP) * _GROUP for k in index]
+    # round up to whole 4-plane groups (ComposedReconstructor.hpp:288-295).
+    # NOTE the reference's `((n - 1) / m + 1) * m` on uint8 n promotes to
+    # int, so n=0 becomes (-1)/4 + 1 = 1 group: zero-plane levels still
+    # fetch their first group — mirrored faithfully.
+    return [_GROUP if k == 0 else -(-k // _GROUP) * _GROUP for k in index]
 
 
 # ----------------------------------------------------------------------
@@ -207,6 +210,88 @@ def decode_level(planes: np.ndarray, k: int, abs_max: float,
     data = np.where(sign, -data, data)
     # value index = data_idx * NF + batch  ->  row-major of (BATCH, NF)
     return data.ravel()[:n_elems]
+
+
+# ----------------------------------------------------------------------
+# HybridLevelCompressor group payloads (RLE / byte-alphabet Huffman / raw)
+# ----------------------------------------------------------------------
+def _decode_group_rle(blob: bytes, expected_bytes: int) -> bytes:
+    """General RLE container (Lossless/ParallelRLE/RunLengthEncoding.hpp:
+    180-210): MGXRLEC | u64 total_run_length | u64 original_length |
+    u32 run counts[] | u8 symbols[]; expansion repeats each symbol by its
+    count."""
+    nruns, orig = struct.unpack_from("<2Q", blob, 8)
+    if int(orig) != expected_bytes:
+        raise FormatError("MDR-X RLE group length mismatch")
+    off = 24
+    counts = np.frombuffer(blob, "<u4", int(nruns), off)
+    off += 4 * int(nruns)
+    symbols = np.frombuffer(blob, np.uint8, int(nruns), off)
+    out = np.repeat(symbols, counts.astype(np.int64))
+    if out.size != expected_bytes:
+        raise FormatError("MDR-X RLE group expansion mismatch")
+    return out.tobytes()
+
+
+def _decode_group_huffman(blob: bytes, expected_bytes: int) -> bytes:
+    """Byte-alphabet GPU-Huffman (HybridLevelCompressor's
+    Huffman<u8,u8,u64>, dict 256, block 1024): same serialized layout as
+    the X streams' Huffman (Huffman.hpp ComputeSerializedLayout) with
+    Q=S=u8 keys/outliers."""
+    from .ref_stream import _canonical_decode_chunks
+
+    def _al(p, a):
+        return (p + a - 1) // a * a
+
+    p = _al(7, 8)
+    (primary_count,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    if int(primary_count) != expected_bytes:
+        raise FormatError("MDR-X Huffman group length mismatch")
+    dict_size, chunk_size = struct.unpack_from("<ii", blob, p)
+    p += 8
+    (huffmeta_size,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    nchunk = (int(primary_count) - 1) // chunk_size + 1
+    if huffmeta_size != 2 * nchunk:
+        raise FormatError("MDR-X Huffman group metadata mismatch")
+    bitlens = np.frombuffer(blob, "<u8", nchunk, p)
+    p += 8 * nchunk
+    woffs = np.frombuffer(blob, "<u8", nchunk, p)
+    p += 8 * nchunk
+    (decodebook_size,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    first = np.frombuffer(blob, "<u8", 64, p)
+    entry = np.frombuffer(blob, "<u8", 64, p + 512)
+    keys = np.frombuffer(blob, np.uint8, dict_size, p + 1024)
+    p += int(decodebook_size)
+    p = _al(p, 8)
+    (ddata_size,) = struct.unpack_from("<Q", blob, p)
+    p += 8
+    p = _al(p, 8)
+    packed = np.frombuffer(blob, "<u8", int(ddata_size), p)
+    p += 8 * int(ddata_size)
+    (outlier_count,) = struct.unpack_from("<Q", blob, p)
+    if outlier_count:
+        # byte alphabet covers [0,256): the separator never fires
+        raise FormatError("MDR-X Huffman group has outliers (unexpected "
+                          "for a byte alphabet)")
+    out = _canonical_decode_chunks(packed, woffs, bitlens, first, entry,
+                                   keys, int(primary_count), chunk_size)
+    return out.astype(np.uint8).tobytes()
+
+
+def _decode_group(blob: bytes, expected_bytes: int) -> bytes:
+    """One 4-plane group: raw when exactly the expected size, else the
+    RLE/Huffman container HybridLevelCompressor picked
+    (HybridLevelCompressor.hpp:86-115)."""
+    if len(blob) == expected_bytes:
+        return blob
+    if blob[:7] == b"MGXRLEC":
+        return _decode_group_rle(blob, expected_bytes)
+    if blob[:7] == b"MGXHUFF":
+        return _decode_group_huffman(blob, expected_bytes)
+    raise FormatError("unrecognized MDR-X bitplane group payload")
 
 
 # ----------------------------------------------------------------------
@@ -335,20 +420,21 @@ def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
             bp = g * _GROUP
             fname = os.path.join(path, f"component_0_{l}_{bp}")
             size = int(md.level_sizes[l][bp])
-            with open(fname, "rb") as f:
-                blob = f.read()
+            try:
+                with open(fname, "rb") as f:
+                    blob = f.read()
+            except FileNotFoundError:
+                raise FormatError(
+                    f"MDR-X archive is missing component_0_{l}_{bp} "
+                    f"(partial archive? tolerance needs more planes than "
+                    f"were retrieved)"
+                ) from None
             if len(blob) != size:
                 raise FormatError(f"MDR-X component size mismatch at "
                                   f"level {l} plane {bp}")
-            if size != row_len * 4 * _GROUP:
-                # HybridLevelCompressor stored this >1MB group RLE/Huffman
-                # compressed (HybridLevelCompressor.hpp:86-108)
-                raise FormatError(
-                    "MDR-X compressed bitplane groups (>1MB levels) are "
-                    "not supported by the cross-reader"
-                )
+            raw = _decode_group(blob, row_len * 4 * _GROUP)
             rows[bp : bp + _GROUP] = np.frombuffer(
-                blob, "<u4"
+                raw, "<u4"
             ).reshape(_GROUP, row_len)
         vals = decode_level(rows, k, float(md.level_error_bounds[l]),
                             n_elems)

@@ -84,6 +84,69 @@ def test_mdrx_cli_roundtrip(tmp_path, capsys):
     assert float(np.max(np.abs(out - _input()))) <= 1e-2
 
 
+def _make_field(shape):
+    """Replicates gen_mdrx.cpp make_field exactly (f64 accumulate, f32
+    cast) — verified bit-equal against the committed 33^3 input."""
+    n = int(np.prod(shape))
+    idx = np.arange(n)
+    acc = np.zeros(n)
+    prod = np.ones(n)
+    rem = idx.copy()
+    for d in range(len(shape) - 1, -1, -1):
+        x = (rem % shape[d]) / (shape[d] - 1 if shape[d] > 1 else 1)
+        rem //= shape[d]
+        acc += np.sin(2 * np.pi * (d + 1) * x)
+        prod *= np.cos(np.pi * x + 0.3 * (d + 1))
+    return (acc + 0.5 * prod).astype(np.float32).reshape(shape)
+
+
+def test_mdrx_field_replication_is_exact():
+    ref = np.fromfile(os.path.join(GOLD, "mdrx_input.bin"),
+                      np.float32).reshape(33, 33, 33)
+    np.testing.assert_array_equal(_make_field((33, 33, 33)), ref)
+
+
+def test_mdrx_at_scale_161():
+    """9-level 161^3 archive (trimmed to the requested components): the
+    request must match the reference's (including the uint8-promotion
+    quirk that rounds zero-plane levels up to one 4-plane group), the
+    reconstruction must hold the bound against the (regenerated) input,
+    and its leading 35937 values must match the reference's own
+    reconstruction to f32 rounding (prefix oracle from
+    generate_mdrx.sh; 9 f32 recompose levels accumulate ~1 ulp of
+    order-dependent rounding vs the reference)."""
+    import zlib
+
+    archive = os.path.join(GOLD, "mdrx2")
+    md = read_metadata(archive)[0]
+    assert int(md.num_levels) == 9
+    assert request_planes(md, 2e-1) == [8, 12, 8, 8, 8, 4, 4, 4, 4]
+    out = reconstruct_mdrx(archive, 2e-1)
+    v = _make_field((161, 161, 161))
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= 2e-1
+    with open(os.path.join(GOLD, "mdrx2_rec_2e-01.bin.zz"), "rb") as f:
+        ref_prefix = np.frombuffer(zlib.decompress(f.read()), np.float32)
+    np.testing.assert_allclose(
+        out.ravel()[: ref_prefix.size].astype(np.float64),
+        ref_prefix.astype(np.float64), rtol=0, atol=1e-6)
+
+
+def test_mdrx_group_payload_rle_roundtrip():
+    """Hand-built MGXRLEC container (RunLengthEncoding.hpp layout) decodes
+    through the group dispatcher."""
+    import struct
+
+    from mgard_tpu.formats.mdrx_stream import _decode_group
+
+    runs = [(5, 0), (3, 7), (8, 0), (4, 255), (12, 1)]
+    expected = b"".join(bytes([s]) * c for c, s in runs)
+    blob = (b"MGXRLEC\x00"
+            + struct.pack("<QQ", len(runs), len(expected))
+            + b"".join(struct.pack("<I", c) for c, _ in runs)
+            + bytes(s for _, s in runs))
+    assert _decode_group(blob, len(expected)) == expected
+
+
 def test_mdrx_corrupt_fails_cleanly(tmp_path):
     """A truncated component must raise FormatError, not crash."""
     import shutil
