@@ -28,10 +28,13 @@ HybridLevelCompressor's 4-plane groups):
                           reference MGARD-X serial transform)
 
 Host-side interop path (like formats/cpu_stream.py): numpy throughout.
-Levels whose 4-plane groups exceed the reference's 1 MB threshold are
-RLE/Huffman-compressed by HybridLevelCompressor; those wire formats are
-detected and rejected cleanly (small/medium archives - like every golden
-the reference's own tests produce at these scales - store groups raw).
+Bitplane groups come in all three wire forms HybridLevelCompressor
+emits (HybridLevelCompressor.hpp:86-115): raw (always, below the 1 MB
+merged-group threshold), MGXRLEC run-length containers, and MGXHUFF
+byte-alphabet GPU-Huffman containers (groups > 1 MB whose compression
+ratio clears the 2x gate). `MDRXArchive` caches the parsed metadata,
+hierarchy, linearizer offsets, and decoded groups so progressive
+multi-tolerance reconstruction only decodes each group once.
 """
 
 import math
@@ -56,11 +59,14 @@ class MDRXMetadata:
     f64 sq_errors[nl][nb+1] | u64 sizes[nl][nb] | u64 num_elems[nl])."""
 
     def __init__(self, buf: bytes):
-        off = 0
+        if len(buf) < 16:
+            raise FormatError("truncated MDR-X metadata")
         self.num_levels, self.num_bitplanes = struct.unpack_from("<2Q", buf, 0)
         nl, nb = int(self.num_levels), int(self.num_bitplanes)
         if not (1 <= nl <= 64 and 1 <= nb <= 64):
             raise FormatError("implausible MDR-X metadata")
+        if len(buf) < 16 + 8 * (nl + nl * (nb + 1) + nl * nb + nl):
+            raise FormatError("truncated MDR-X metadata")
         off = 16
         self.level_error_bounds = np.frombuffer(buf, "<f8", nl, off)
         off += 8 * nl
@@ -80,14 +86,20 @@ class MDRXMetadata:
 def read_metadata(path: str) -> List[MDRXMetadata]:
     with open(os.path.join(path, "metadata"), "rb") as f:
         buf = f.read()
+    if len(buf) < 8:
+        raise FormatError("truncated MDR-X metadata")
     (num_subdomains,) = struct.unpack_from("<Q", buf, 0)
     if not 1 <= num_subdomains <= 1 << 20:
         raise FormatError("implausible MDR-X subdomain count")
     out = []
     off = 8
     for _ in range(int(num_subdomains)):
+        if off + 8 > len(buf):
+            raise FormatError("truncated MDR-X metadata")
         (sz,) = struct.unpack_from("<Q", buf, off)
         off += 8
+        if off + int(sz) > len(buf):
+            raise FormatError("truncated MDR-X metadata")
         md = MDRXMetadata(buf[off : off + int(sz)])
         off += int(sz)
         out.append(md)
@@ -144,7 +156,6 @@ def request_planes(md: MDRXMetadata, tol: float) -> List[int]:
         return -cnt[node], items[node]
 
     min_error = acc
-    num_levels = nl
     for i in range(nl):
         min_error -= float(errors[i][index[i]])
         min_error += float(errors[i][-1])
@@ -157,7 +168,6 @@ def request_planes(md: MDRXMetadata, tol: float) -> List[int]:
             size = float(md.level_sizes[i][index[i]])
             push(gain / size if size else math.inf, i)
         if min_error < tol:
-            num_levels = i + 1
             break
 
     tolerance_met = acc < tol
@@ -237,47 +247,17 @@ def _decode_group_huffman(blob: bytes, expected_bytes: int) -> bytes:
     """Byte-alphabet GPU-Huffman (HybridLevelCompressor's
     Huffman<u8,u8,u64>, dict 256, block 1024): same serialized layout as
     the X streams' Huffman (Huffman.hpp ComputeSerializedLayout) with
-    Q=S=u8 keys/outliers."""
-    from .ref_stream import _canonical_decode_chunks
+    Q=S=u8 keys/outliers, so the container walk is shared with
+    ref_stream."""
+    from .ref_stream import _parse_huffman_container
 
-    def _al(p, a):
-        return (p + a - 1) // a * a
-
-    p = _al(7, 8)
-    (primary_count,) = struct.unpack_from("<Q", blob, p)
-    p += 8
-    if int(primary_count) != expected_bytes:
-        raise FormatError("MDR-X Huffman group length mismatch")
-    dict_size, chunk_size = struct.unpack_from("<ii", blob, p)
-    p += 8
-    (huffmeta_size,) = struct.unpack_from("<Q", blob, p)
-    p += 8
-    nchunk = (int(primary_count) - 1) // chunk_size + 1
-    if huffmeta_size != 2 * nchunk:
-        raise FormatError("MDR-X Huffman group metadata mismatch")
-    bitlens = np.frombuffer(blob, "<u8", nchunk, p)
-    p += 8 * nchunk
-    woffs = np.frombuffer(blob, "<u8", nchunk, p)
-    p += 8 * nchunk
-    (decodebook_size,) = struct.unpack_from("<Q", blob, p)
-    p += 8
-    first = np.frombuffer(blob, "<u8", 64, p)
-    entry = np.frombuffer(blob, "<u8", 64, p + 512)
-    keys = np.frombuffer(blob, np.uint8, dict_size, p + 1024)
-    p += int(decodebook_size)
-    p = _al(p, 8)
-    (ddata_size,) = struct.unpack_from("<Q", blob, p)
-    p += 8
-    p = _al(p, 8)
-    packed = np.frombuffer(blob, "<u8", int(ddata_size), p)
-    p += 8 * int(ddata_size)
+    out, p, _ = _parse_huffman_container(blob, np.uint8,
+                                         expected=expected_bytes)
     (outlier_count,) = struct.unpack_from("<Q", blob, p)
     if outlier_count:
         # byte alphabet covers [0,256): the separator never fires
         raise FormatError("MDR-X Huffman group has outliers (unexpected "
                           "for a byte alphabet)")
-    out = _canonical_decode_chunks(packed, woffs, bitlens, first, entry,
-                                   keys, int(primary_count), chunk_size)
     return out.astype(np.uint8).tobytes()
 
 
@@ -287,10 +267,14 @@ def _decode_group(blob: bytes, expected_bytes: int) -> bytes:
     (HybridLevelCompressor.hpp:86-115)."""
     if len(blob) == expected_bytes:
         return blob
-    if blob[:7] == b"MGXRLEC":
-        return _decode_group_rle(blob, expected_bytes)
-    if blob[:7] == b"MGXHUFF":
-        return _decode_group_huffman(blob, expected_bytes)
+    try:
+        if blob[:7] == b"MGXRLEC":
+            return _decode_group_rle(blob, expected_bytes)
+        if blob[:7] == b"MGXHUFF":
+            return _decode_group_huffman(blob, expected_bytes)
+    except (struct.error, ValueError) as e:
+        # short/corrupt container: np.frombuffer/struct overruns
+        raise FormatError(f"corrupt MDR-X bitplane group: {e}") from None
     raise FormatError("unrecognized MDR-X bitplane group payload")
 
 
@@ -376,50 +360,60 @@ def level_offsets(hier) -> List[np.ndarray]:
 # ----------------------------------------------------------------------
 # end-to-end read
 # ----------------------------------------------------------------------
-def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
-                     planes: Optional[Sequence[int]] = None) -> np.ndarray:
-    """Reconstruct a reference-written MDR-X directory at tolerance `tol`
-    (s = inf requests, the mdr-x default). `planes` overrides the greedy
-    request with explicit per-level bitplane counts."""
-    from ..config import Config
-    from ..hierarchy import get_hierarchy
-    from ..ops.refactor import recompose
-    from .ref_stream import parse_header
+class MDRXArchive:
+    """A reference MDR-X directory opened for progressive reconstruction.
 
-    if not math.isinf(s):
-        raise FormatError("MDR-X cross-reading supports s=inf requests")
-    with open(os.path.join(path, "header"), "rb") as f:
-        h = parse_header(f.read())
-    mds = read_metadata(path)
-    if len(mds) != 1:
-        raise FormatError(
-            "MDR-X cross-reading supports whole-domain archives (one "
-            f"subdomain; this one has {len(mds)})"
-        )
-    md = mds[0]
-    cfg = Config()
-    cfg.normalize_coordinates = False
-    hier = get_hierarchy(h.shape, h.dtype, h.coords, cfg)
-    if hier.l_target + 1 != int(md.num_levels):
-        raise FormatError("MDR-X level count mismatch with header shape")
+    Parses and validates the header/metadata once, builds the hierarchy
+    and LevelLinearizer offsets lazily, and caches decoded bitplane
+    groups — so reconstructing the same archive at several tolerances
+    (the CLI's ``-e t1 t2 ...``) re-decodes nothing."""
 
-    counts = list(planes) if planes is not None else request_planes(md, tol)
+    def __init__(self, path: str):
+        from ..config import Config
+        from ..hierarchy import get_hierarchy
+        from .ref_stream import parse_header
 
-    dec = np.zeros(hier.shape, np.float64)
-    offsets = level_offsets(hier)
-    for l in range(int(md.num_levels)):
-        k = int(counts[l])
-        if k == 0:
-            continue
-        n_elems = int(md.level_num_elems[l])
-        NF = (n_elems + _BATCH - 1) // _BATCH
-        row_len = 2 * NF  # bitplane_length: data words + sign-plane words
-        ngroups = (k + _GROUP - 1) // _GROUP
-        rows = np.zeros((ngroups * _GROUP, row_len), np.uint32)
-        for g in range(ngroups):
-            bp = g * _GROUP
-            fname = os.path.join(path, f"component_0_{l}_{bp}")
-            size = int(md.level_sizes[l][bp])
+        self.path = path
+        with open(os.path.join(path, "header"), "rb") as f:
+            self.header = parse_header(f.read())
+        if self.header.decomposition != "multidim":
+            # the archive's bitplanes hold a different transform's
+            # coefficients; recomposing them MultiDim would be silent junk
+            raise FormatError(
+                f"reference {self.header.decomposition} decomposition not "
+                "supported for MDR-X cross-reading (MultiDim only)"
+            )
+        mds = read_metadata(path)
+        if len(mds) != 1:
+            raise FormatError(
+                "MDR-X cross-reading supports whole-domain archives (one "
+                f"subdomain; this one has {len(mds)})"
+            )
+        self.md = mds[0]
+        cfg = Config()
+        cfg.normalize_coordinates = False
+        self.hier = get_hierarchy(self.header.shape, self.header.dtype,
+                                  self.header.coords, cfg)
+        if self.hier.l_target + 1 != int(self.md.num_levels):
+            raise FormatError("MDR-X level count mismatch with header shape")
+        self._offsets: Optional[List[np.ndarray]] = None
+        self._groups: dict = {}  # (level, first_bp) -> (GROUP, row_len) u32
+
+    def request(self, tol: float) -> List[int]:
+        return request_planes(self.md, tol)
+
+    def _group_rows(self, l: int, bp: int, row_len: int) -> np.ndarray:
+        key = (l, bp)
+        if key in self._groups:
+            return self._groups[key]
+        size = int(self.md.level_sizes[l][bp])
+        if size == 0:
+            # the reference writer only creates component files for
+            # non-zero sizes (mdr-x.cpp write_mdr); an absent file here is
+            # a legitimate all-zero group, not a partial archive
+            rows = np.zeros((_GROUP, row_len), np.uint32)
+        else:
+            fname = os.path.join(self.path, f"component_0_{l}_{bp}")
             try:
                 with open(fname, "rb") as f:
                     blob = f.read()
@@ -433,15 +427,51 @@ def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
                 raise FormatError(f"MDR-X component size mismatch at "
                                   f"level {l} plane {bp}")
             raw = _decode_group(blob, row_len * 4 * _GROUP)
-            rows[bp : bp + _GROUP] = np.frombuffer(
-                raw, "<u4"
-            ).reshape(_GROUP, row_len)
-        vals = decode_level(rows, k, float(md.level_error_bounds[l]),
-                            n_elems)
-        dec.ravel()[offsets[l]] = vals
+            rows = np.frombuffer(raw, "<u4").reshape(_GROUP, row_len)
+        self._groups[key] = rows
+        return rows
 
-    import jax.numpy as jnp
+    def reconstruct(self, tol: float,
+                    planes: Optional[Sequence[int]] = None) -> np.ndarray:
+        """Reconstruct at tolerance `tol` (s = inf requests, the mdr-x
+        default). `planes` overrides the greedy request with explicit
+        per-level bitplane counts."""
+        md, hier = self.md, self.hier
+        nb = int(md.num_bitplanes)
+        counts = list(planes) if planes is not None else self.request(tol)
 
-    out = np.asarray(recompose(jnp.asarray(dec.astype(h.dtype)), hier,
-                               orthogonal=False))
-    return out.astype(h.dtype)
+        dec = np.zeros(hier.shape, np.float64)
+        if self._offsets is None:
+            self._offsets = level_offsets(hier)
+        for l in range(int(md.num_levels)):
+            k = min(int(counts[l]), nb)
+            if k == 0:
+                continue
+            n_elems = int(md.level_num_elems[l])
+            NF = (n_elems + _BATCH - 1) // _BATCH
+            row_len = 2 * NF  # bitplane_length: data + sign-plane words
+            ngroups = (k + _GROUP - 1) // _GROUP
+            rows = np.concatenate(
+                [self._group_rows(l, g * _GROUP, row_len)
+                 for g in range(ngroups)]
+            )
+            vals = decode_level(rows, k, float(md.level_error_bounds[l]),
+                                n_elems)
+            dec.ravel()[self._offsets[l]] = vals
+
+        import jax.numpy as jnp
+
+        from ..ops.refactor import recompose
+
+        out = np.asarray(recompose(jnp.asarray(dec.astype(self.header.dtype)),
+                                   hier, orthogonal=False))
+        return out.astype(self.header.dtype)
+
+
+def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
+                     planes: Optional[Sequence[int]] = None) -> np.ndarray:
+    """One-shot reconstruction of a reference-written MDR-X directory at
+    tolerance `tol` (use MDRXArchive directly for multi-tolerance reads)."""
+    if not math.isinf(s):
+        raise FormatError("MDR-X cross-reading supports s=inf requests")
+    return MDRXArchive(path).reconstruct(tol, planes=planes)

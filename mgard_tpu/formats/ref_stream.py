@@ -277,6 +277,24 @@ def _decode_x_huffman(raw: bytes, expected=None) -> np.ndarray:
     (Huffman.hpp Compress comment), so the shift is undone here and the
     generic dequantizer applies unchanged."""
 
+    out, p, dict_size = _parse_huffman_container(raw, "<u8", expected=expected)
+    (outlier_count,) = struct.unpack_from("<Q", raw, p)
+    p += 8
+    out_idx = np.frombuffer(raw, "<u8", int(outlier_count), p)
+    p += 8 * int(outlier_count)
+    out_val = np.frombuffer(raw, "<i8", int(outlier_count), p)
+    if outlier_count:
+        out[out_idx] = out_val.view(np.uint64)
+    return out.view(np.int64) - dict_size // 2
+
+
+def _parse_huffman_container(raw: bytes, key_dtype, *, expected=None):
+    """Walk the serialized GPU-Huffman container layout (shared between the
+    X quantized streams, Q=S=H=64-bit, and MDR-X HybridLevelCompressor's
+    byte-alphabet Huffman<u8,u8,u64> groups) and canonically decode the
+    primary stream. Returns (symbols as u64, offset of the trailing
+    outlier section, dict_size); outlier handling differs per caller."""
+
     def _al(p, a):
         return (p + a - 1) // a * a
 
@@ -303,7 +321,7 @@ def _decode_x_huffman(raw: bytes, expected=None) -> np.ndarray:
     # keep everything as unbounded Python ints, never signed numpy
     first = np.frombuffer(raw, "<u8", 64, p)
     entry = np.frombuffer(raw, "<u8", 64, p + 512)
-    keys = np.frombuffer(raw, "<u8", dict_size, p + 1024)
+    keys = np.frombuffer(raw, key_dtype, dict_size, p + 1024)
     p += int(decodebook_size)
     p = _al(p, 8)
     (ddata_size,) = struct.unpack_from("<Q", raw, p)
@@ -311,19 +329,11 @@ def _decode_x_huffman(raw: bytes, expected=None) -> np.ndarray:
     p = _al(p, 8)
     packed = np.frombuffer(raw, "<u8", int(ddata_size), p)
     p += 8 * int(ddata_size)
-    (outlier_count,) = struct.unpack_from("<Q", raw, p)
-    p += 8
-    out_idx = np.frombuffer(raw, "<u8", int(outlier_count), p)
-    p += 8 * int(outlier_count)
-    out_val = np.frombuffer(raw, "<i8", int(outlier_count), p)
-
     out = _canonical_decode_chunks(
         packed, woffs, bitlens, first, entry, keys,
         int(primary_count), int(chunk_size)
     )
-    if outlier_count:
-        out[out_idx] = out_val.view(np.uint64)
-    return out.view(np.int64) - dict_size // 2
+    return out, p, int(dict_size)
 
 
 def _canonical_decode_chunks(packed, woffs, bitlens, first, entry, keys,

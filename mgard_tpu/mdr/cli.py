@@ -87,13 +87,19 @@ def main(argv=None):
 
         if _os.path.isdir(infile):
             # a reference mdr-x DIRECTORY archive (header | metadata |
-            # component_*): cross-read it (formats/mdrx_stream.py)
-            from ..formats.mdrx_stream import reconstruct_mdrx
+            # component_*): cross-read it (formats/mdrx_stream.py); one
+            # MDRXArchive caches decoded groups/offsets across tolerances
+            from ..formats.metadata import FormatError
+            from ..formats.mdrx_stream import MDRXArchive
 
+            if not math.isinf(s):
+                raise FormatError(
+                    "MDR-X cross-reading supports s=inf requests")
+            archive = MDRXArchive(infile)
             out = None
             orig_path = get("-g")
             for tol in tols:
-                out = reconstruct_mdrx(infile, tol, s)
+                out = archive.reconstruct(tol)
                 msg = f"[info] tol={tol:.3e} (reference MDR-X archive)"
                 if orig_path:
                     v = np.fromfile(orig_path, dtype=out.dtype)[

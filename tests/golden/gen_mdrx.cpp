@@ -18,6 +18,7 @@
 #include <limits>
 #include <string>
 #include <sys/stat.h>
+#include <unistd.h>
 #include <vector>
 
 #include "mgard-x/DataRefactoring/MultiDimension/Coefficient/CalcCoefficients3D.hpp"
@@ -81,6 +82,23 @@ std::vector<Byte> slurp(const std::string &path) {
 }
 
 const std::vector<SIZE> kShape{33, 33, 33};
+
+// mdrx3: engineered so HybridLevelCompressor's compressed-group paths
+// actually fire (HybridLevelCompressor.hpp:86-115 only tries RLE/Huffman
+// on merged 4-plane groups > 1e6 bytes and keeps them at CR >= 2).
+// 105^3 puts the finest level at 1,008,748 elems -> merged group
+// 1,008,768 bytes, just over the gate. The field itself comes from
+// gen_mdrx3_field.py (integer-hash magnitudes + a sign plane patterned
+// per level-linearized index so RLE fails but byte-Huffman clears the
+// 2x gate on the finest group 0, while group 1 is all-zero -> RLE).
+const std::vector<SIZE> kShape3{105, 105, 105};
+
+std::vector<float> load_field3() {
+  auto raw = slurp("mdrx3_input.bin");
+  std::vector<float> v(raw.size() / sizeof(float));
+  std::memcpy(v.data(), raw.data(), raw.size());
+  return v;
+}
 
 Config make_config() {
   Config config;
@@ -193,13 +211,156 @@ int do_reconstruct(double tol) {
   return 0;
 }
 
+int do_refactor3() {
+  auto v = load_field3();
+  mkdir("mdrx3", 0755);
+  Config config = make_config();
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  std::vector<SIZE> shp(kShape3);
+  mgard_x::MDR::MDRefactor<3, float, SERIAL>(
+      shp, v.data(), refactored_metadata, refactored_data, config, false);
+
+  std::vector<Byte> serialized_metadata = refactored_metadata.Serialize();
+  dump("mdrx3/header", refactored_metadata.header.data(),
+       refactored_metadata.header.size());
+  dump("mdrx3/metadata", serialized_metadata.data(),
+       serialized_metadata.size());
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      for (std::size_t bp = 0; bp < md.level_sizes[l].size(); bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          dump("mdrx3/component_" + std::to_string(sub) + "_" +
+                   std::to_string(l) + "_" + std::to_string(bp),
+               refactored_data.data[sub][l][bp], md.level_sizes[l][bp]);
+        }
+      }
+    }
+  }
+  std::printf("refactored3: %zu subdomains\n",
+              refactored_metadata.metadata.size());
+  return 0;
+}
+
+// Reconstruct mdrx3 at `tol`, dump the reference's own reconstruction,
+// and (with trim) delete the components beyond the reference's request so
+// the committed golden stays small (same trimming mdrx2 got).
+int do_reconstruct3(double tol, bool trim) {
+  Config config = make_config();
+  std::vector<SIZE> shp(kShape3);
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  mgard_x::MDR::ReconstructedData reconstructed_data;
+
+  refactored_metadata.header = slurp("mdrx3/header");
+  refactored_metadata.Deserialize(slurp("mdrx3/metadata"));
+  std::printf("deserialized\n");
+  refactored_metadata.InitializeForReconstruction();
+  refactored_data.InitializeForReconstruction(refactored_metadata);
+  std::printf("initialized\n");
+
+  for (auto &metadata : refactored_metadata.metadata) {
+    metadata.requested_tol = tol;
+    metadata.requested_s = std::numeric_limits<double>::infinity();
+  }
+  mgard_x::MDR::MDRequest<3, float, SERIAL>(shp, refactored_metadata, config);
+  for (auto &md : refactored_metadata.metadata) {
+    std::printf("requested planes:");
+    for (auto b : md.requested_level_num_bitplanes)
+      std::printf(" %d", (int)b);
+    std::printf("\n");
+  }
+
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      int loaded = md.loaded_level_num_bitplanes[l];
+      int requested = md.requested_level_num_bitplanes[l];
+      for (int bp = loaded; bp < requested; bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          std::vector<Byte> blob =
+              slurp("mdrx3/component_" + std::to_string(sub) + "_" +
+                    std::to_string(l) + "_" + std::to_string(bp));
+          Byte *buf = (Byte *)malloc(blob.size() * 4 + (1 << 20));
+          std::memcpy(buf, blob.data(), blob.size());
+          refactored_data.data[sub][l][bp] = buf;
+        }
+      }
+      if (trim) {
+        for (std::size_t bp = requested; bp < md.level_sizes[l].size(); bp++)
+          if (md.level_sizes[l][bp] > 0)
+            unlink(("mdrx3/component_" + std::to_string(sub) + "_" +
+                    std::to_string(l) + "_" + std::to_string(bp)).c_str());
+      }
+      refactored_data.level_signs[sub][l] =
+          (bool *)calloc(md.level_num_elems[l] + 4096, sizeof(bool));
+    }
+  }
+  std::printf("loaded\n");
+
+  mgard_x::MDR::MDReconstruct<3, float, SERIAL>(
+      shp, refactored_metadata, refactored_data, reconstructed_data, config,
+      false);
+  std::printf("reconstructed\n");
+
+  char name[64];
+  std::snprintf(name, sizeof(name), "mdrx3_rec_%.0e.bin", tol);
+  std::size_t n = (std::size_t)105 * 105 * 105;
+  dump(name, reconstructed_data.data[0], n * sizeof(float));
+
+  auto v = load_field3();
+  double linf = 0;
+  const float *r = (const float *)reconstructed_data.data[0];
+  for (std::size_t i = 0; i < n; i++)
+    linf = std::max(linf, std::abs((double)v[i] - r[i]));
+  std::printf("tol %.0e: reference reconstruction3 L_inf %.3e\n", tol, linf);
+  return 0;
+}
+
+// SingleDim-decomposition archive (header + metadata only): the
+// cross-reader must reject it cleanly, not silently recompose MultiDim.
+int do_refactor_sd() {
+  const std::vector<SIZE> shape_sd{17, 17, 17};
+  std::vector<std::size_t> shv(shape_sd.begin(), shape_sd.end());
+  auto v = make_field<float>(shv);
+  mkdir("mdrx_sd", 0755);
+  Config config = make_config();
+  config.decomposition = decomposition_type::SingleDim;
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  std::vector<SIZE> shp(shape_sd);
+  mgard_x::MDR::MDRefactor<3, float, SERIAL>(
+      shp, v.data(), refactored_metadata, refactored_data, config, false);
+
+  std::vector<Byte> serialized_metadata = refactored_metadata.Serialize();
+  dump("mdrx_sd/header", refactored_metadata.header.data(),
+       refactored_metadata.header.size());
+  dump("mdrx_sd/metadata", serialized_metadata.data(),
+       serialized_metadata.size());
+  std::printf("refactored_sd done\n");
+  return 0;
+}
+
 } // namespace
 
 int main(int argc, char **argv) {
+  setvbuf(stdout, NULL, _IONBF, 0);  // keep progress prints on abort
   if (argc > 1 && std::string(argv[1]) == "refactor")
     return do_refactor();
   if (argc > 2 && std::string(argv[1]) == "reconstruct")
     return do_reconstruct(std::atof(argv[2]));
-  std::printf("usage: gen_mdrx refactor | reconstruct <tol>\n");
+  if (argc > 1 && std::string(argv[1]) == "refactor3")
+    return do_refactor3();
+  if (argc > 2 && std::string(argv[1]) == "reconstruct3")
+    return do_reconstruct3(std::atof(argv[2]),
+                           argc > 3 && std::string(argv[3]) == "--trim");
+  if (argc > 1 && std::string(argv[1]) == "refactor_sd")
+    return do_refactor_sd();
+  std::printf("usage: gen_mdrx refactor | reconstruct <tol> | refactor3 | "
+              "reconstruct3 <tol> [--trim] | refactor_sd\n");
   return 2;
 }
