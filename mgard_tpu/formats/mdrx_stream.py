@@ -475,3 +475,106 @@ def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
     if not math.isinf(s):
         raise FormatError("MDR-X cross-reading supports s=inf requests")
     return MDRXArchive(path).reconstruct(tol, planes=planes)
+
+
+# ----------------------------------------------------------------------
+# end-to-end write (the bidirectional half: reference reads OUR archive)
+# ----------------------------------------------------------------------
+def write_mdrx(path: str, data, num_bitplanes: int = 32) -> None:
+    """Write a reference-format mdr-x DIRECTORY archive of `data` that the
+    reference build itself progressively reconstructs (pinned by
+    tests/golden/mdrxw_*; reference read path: mdr-x.cpp read_mdr ->
+    MDReconstruct).
+
+    Exact mirror of the read side: f32 MultiDim hierarchical decompose,
+    LevelLinearizer ordering, RegisterBlock sign-magnitude batches
+    (BPEncoderRegisterBlock.hpp:111-183: shifted = coef * 2^(B - exp) in
+    f32, fp = trunc(|shifted|), plane bp holds bit B-1-bp, signs in row
+    0's upper half), MaxError bounds + the squared-error tables of
+    error_collect_binary (:44-75), and the MDRMetadata struct dump.
+    Groups are written raw — what the reference itself emits below its
+    1 MB merged-group gate (HybridLevelCompressor.hpp:86-115)."""
+    import jax.numpy as jnp
+
+    from ..config import Config
+    from ..hierarchy import get_hierarchy
+    from ..ops.refactor import decompose
+    from .ref_stream import serialize_reference_header
+
+    arr = np.ascontiguousarray(data)
+    if arr.dtype != np.float32:
+        raise FormatError("MDR-X archive writing supports float32 data")
+    B = int(num_bitplanes)
+    if B != 32:
+        raise FormatError("MDR-X archive writing supports 32 bitplanes "
+                          "(T_bitplane=u32, the ComposedRefactor default)")
+    cfg = Config()
+    cfg.normalize_coordinates = False
+    hier = get_hierarchy(arr.shape, np.float32, None, cfg)
+    nl = hier.l_target + 1
+
+    dec = np.asarray(decompose(jnp.asarray(arr), hier, orthogonal=False))
+    offsets = level_offsets(hier)
+    os.makedirs(path, exist_ok=True)
+
+    bounds = np.zeros(nl, np.float64)
+    sq_errors = np.zeros((nl, B + 1), np.float64)
+    sizes = np.zeros((nl, B), np.uint64)
+    num_elems = np.zeros(nl, np.uint64)
+    shifts = np.arange(_BATCH - 1, -1, -1, dtype=np.uint32)  # per data_idx
+
+    for l in range(nl):
+        coefs = dec.ravel()[offsets[l]].astype(np.float32)
+        n = coefs.size
+        num_elems[l] = n
+        bound = float(np.max(np.abs(coefs))) if n else 0.0
+        bounds[l] = bound
+        _, exp = math.frexp(bound)
+
+        NF = (n + _BATCH - 1) // _BATCH
+        pad = np.zeros(NF * _BATCH, np.float32)
+        # power-of-two scale: exact in f32, same as the reference's
+        # integer-shift (exp > 0) and pow (exp <= 0) paths
+        pad[:n] = coefs * np.float32(math.ldexp(1.0, B - exp))
+        fp = np.abs(pad).astype(np.uint32).reshape(_BATCH, NF)
+        sign = np.signbit(pad).reshape(_BATCH, NF)
+
+        rows = np.zeros((B, 2 * NF), np.uint32)
+        for bp in range(B):
+            bits = (fp >> np.uint32(B - 1 - bp)) & np.uint32(1)
+            rows[bp, :NF] = ((bits << shifts[:, None]).sum(
+                axis=0, dtype=np.uint64)).astype(np.uint32)
+        rows[0, NF:] = (sign.astype(np.uint32) << shifts[:, None]).sum(
+            axis=0, dtype=np.uint64).astype(np.uint32)
+
+        # error tables (f64, like T_error=double): entry B-bp = sum over
+        # values of ((fp & ((1<<bp)-1)) + frac)^2, entry 0 = sum shifted^2,
+        # all scaled by 2^(2(exp-B))
+        absf = np.abs(pad[:n]).astype(np.float64)
+        fpn = np.abs(pad[:n]).astype(np.uint32)
+        frac = absf - fpn
+        scale = math.ldexp(1.0, 2 * (exp - B))
+        sq_errors[l, 0] = float(np.sum(absf * absf)) * scale
+        for bp in range(B):
+            resid = (fpn & np.uint32((1 << bp) - 1)).astype(np.float64) + frac
+            sq_errors[l, B - bp] = float(np.sum(resid * resid)) * scale
+
+        for g in range(0, B, _GROUP):
+            blob = rows[g : g + _GROUP].astype("<u4").tobytes()
+            sizes[l, g] = len(blob)
+            with open(os.path.join(path, f"component_0_{l}_{g}"), "wb") as f:
+                f.write(blob)
+
+    body = struct.pack("<2Q", nl, B)
+    body += bounds.astype("<f8").tobytes()
+    body += sq_errors.astype("<f8").tobytes()
+    body += sizes.astype("<u8").tobytes()
+    body += num_elems.astype("<u8").tobytes()
+    with open(os.path.join(path, "metadata"), "wb") as f:
+        f.write(struct.pack("<2Q", 1, len(body)) + body)
+    from ..dtypes import error_bound_type
+
+    with open(os.path.join(path, "header"), "wb") as f:
+        f.write(serialize_reference_header(
+            arr.shape, np.float32, 0.0, math.inf,
+            error_bound_type.ABS, 0.0, hier.l_target))

@@ -31,8 +31,9 @@ def print_usage(err=""):
 \t -z / --refactor: refactor mode
 \t\t -i <original data> -o <refactored output>
 \t\t -dt <s|d> -dim <D> <n1..nD> [-b <num bitplanes>]
+\t\t [--ref-format]: write a reference mdr-x DIRECTORY archive
 \t -x / --reconstruct: progressive reconstruct mode
-\t\t -i <refactored input> -o <output raw>
+\t\t -i <refactored input file OR reference mdr-x dir> -o <output raw>
 \t\t -e <tol1> [tol2 ...]: target error bounds (progressive rounds)
 \t\t [-s <smoothness|inf>] [-g <original for error check>]"""
     )
@@ -66,6 +67,16 @@ def main(argv=None):
         cfg = Config()
         cfg.total_num_bitplanes = int(get("-b", "32"))
         v = np.fromfile(infile, dtype=dtype)[: int(np.prod(shape))].reshape(shape)
+        if "--ref-format" in argv:
+            # write the reference mdr-x DIRECTORY format instead of the
+            # native file (the reference build reconstructs it; pinned by
+            # tests/golden/mdrxw_*)
+            from ..formats.mdrx_stream import write_mdrx
+
+            write_mdrx(outfile, v, num_bitplanes=cfg.total_num_bitplanes)
+            print(f"[info] refactored {v.nbytes} bytes into reference "
+                  f"MDR-X archive {outfile}/")
+            return
         meta, data = MDRefactor(v, cfg)
         write_mdr(outfile, meta, data)
         total = sum(sum(l.plane_sizes) for l in meta.levels)

@@ -200,6 +200,57 @@ def test_mdrx_truncated_metadata_fails_cleanly(tmp_path):
         reconstruct_mdrx(str(bad), 1e-3)
 
 
+def test_mdrx_write_reference_reads(tmp_path):
+    """write_mdrx emits a reference-format directory archive the
+    REFERENCE build itself progressively reconstructs (goldens
+    mdrxw_rec_* are the reference's own reconstructions of the committed
+    mdrxw/ archive, generated by generate_mdrxw.sh): our writer must
+    reproduce the committed archive byte-for-byte, our reader must agree
+    with the reference's reconstruction of it, and the bound must hold."""
+    import zlib
+
+    from mgard_tpu.formats.mdrx_stream import MDRXArchive, write_mdrx
+
+    committed = os.path.join(GOLD, "mdrxw")
+    v = _input()
+    out_dir = str(tmp_path / "mdrxw")
+    write_mdrx(out_dir, v)
+    names = sorted(os.listdir(committed))
+    assert sorted(os.listdir(out_dir)) == names
+    for name in names:
+        with open(os.path.join(out_dir, name), "rb") as f:
+            ours = f.read()
+        with open(os.path.join(committed, name), "rb") as f:
+            gold = f.read()
+        assert ours == gold, f"write_mdrx drifted from golden in {name}"
+
+    a = MDRXArchive(committed)
+    for tol, name in ((1e-1, "mdrxw_rec_1e-01.bin.zz"),
+                      (1e-3, "mdrxw_rec_1e-03.bin.zz")):
+        out = a.reconstruct(tol)
+        err = float(np.max(np.abs(out.astype(np.float64) - v)))
+        assert err <= tol
+        with open(os.path.join(GOLD, name), "rb") as f:
+            ref = np.frombuffer(zlib.decompress(f.read()), np.float32)
+        np.testing.assert_allclose(out.ravel().astype(np.float64),
+                                   ref.astype(np.float64), rtol=0, atol=1e-6)
+
+
+def test_mdrx_write_cli(tmp_path):
+    """mdr-tpu -z --ref-format writes a reference directory archive that
+    round-trips through the -x directory branch."""
+    from mgard_tpu.mdr.cli import main as mdr_main
+
+    inp = os.path.join(GOLD, "mdrx_input.bin")
+    arch = str(tmp_path / "arch")
+    mdr_main(["-z", "--ref-format", "-i", inp, "-o", arch,
+              "-dt", "s", "-dim", "3", "33", "33", "33"])
+    out_path = str(tmp_path / "out.raw")
+    mdr_main(["-x", "-i", arch, "-o", out_path, "-e", "1e-2", "-g", inp])
+    out = np.fromfile(out_path, np.float32).reshape(33, 33, 33)
+    assert float(np.max(np.abs(out - _input()))) <= 1e-2
+
+
 def test_mdrx_group_payload_rle_roundtrip():
     """Hand-built MGXRLEC container (RunLengthEncoding.hpp layout) decodes
     through the group dispatcher."""
