@@ -123,21 +123,61 @@ def _collect_level_error(bound: float, nb: int) -> np.ndarray:
     return out
 
 
-def request_planes(md: MDRXMetadata, tol: float) -> List[int]:
-    """Per-level bitplane counts for an s=inf request — the reference's
-    greedy max-heap on error-gain per byte (GreedyBasedSizeInterpreter.hpp
-    :26-105), including the zero-size planes inside a 4-plane group (their
-    gain/size is +inf: already-paid-for planes come first)."""
+def request_planes(md: MDRXMetadata, tol: float, s: float = math.inf,
+                   num_dims: Optional[int] = None) -> List[int]:
+    """Per-level bitplane counts — the reference's greedy max-heap on
+    error-gain per byte (GreedyBasedSizeInterpreter.hpp:26-105),
+    including the zero-size planes inside a 4-plane group (their
+    gain/size is +inf: already-paid-for planes come first).
+
+    s = inf: MaxErrorCollector absolute-error tables from the level
+    bounds. Finite s (the mdr-x `-s` flag): the hierarchical-basis
+    branch of GenerateRequest (ComposedReconstructor.hpp:186-254) runs
+    L2ErrorEstimator_HB over the level_squared_errors tables with target
+    tol^2 — estimate weight 2 * 2^(D(L-l)), gain weight 2^(D(L-l))
+    (SquaredErrorEstimator.hpp:11-39; note the reference ignores the
+    numeric s for hierarchical archives: any finite s means L2)."""
     from .cpu_stream import _heap_pop, _heap_push
 
     nl = int(md.num_levels)
     nb = int(md.num_bitplanes)
-    errors = [
-        _collect_level_error(float(md.level_error_bounds[l]), nb)
-        for l in range(nl)
-    ]
+    if math.isinf(s):
+        errors = [
+            _collect_level_error(float(md.level_error_bounds[l]), nb)
+            for l in range(nl)
+        ]
+        w_est = [1.0] * nl
+        w_gain = [1.0] * nl
+        target = tol
+    else:
+        if num_dims is None:
+            raise ValueError("finite-s requests need num_dims")
+        # the reference's shipped refactor ships UNINITIALIZED squared
+        # tables (heap garbage) and silently returns a wrong-bound
+        # reconstruction for finite-s requests on its own archives.
+        # Honest tables are non-increasing in the plane count and bounded
+        # by n * bound^2; error clearly instead of reproducing that.
+        for l in range(nl):
+            tab = md.level_squared_errors[l].astype(np.float64)
+            bound = float(md.level_error_bounds[l])
+            n_l = float(md.level_num_elems[l])
+            cap = n_l * bound * bound * 1.0000001 + 1e-300
+            if np.any(np.diff(tab) > 1e-12 * tab[:-1] + 1e-300) or \
+                    float(tab[0]) > cap:
+                raise FormatError(
+                    "archive carries no usable squared-error tables (the "
+                    "reference refactor leaves them uninitialized) — "
+                    "finite-s requests need an archive written with "
+                    "honest tables (write_mdrx)"
+                )
+        L = nl - 1
+        w_gain = [math.ldexp(1.0, num_dims * (L - l)) for l in range(nl)]
+        w_est = [2.0 * w for w in w_gain]
+        errors = [md.level_squared_errors[l].astype(np.float64)
+                  for l in range(nl)]
+        target = tol * tol
     index = [0] * nl
-    acc = sum(float(errors[l][0]) for l in range(nl))
+    acc = sum(w_est[l] * float(errors[l][0]) for l in range(nl))
 
     # emulated std::priority_queue<UnitErrorGain> (max-heap by gain; reuse
     # the exact libstdc++ heap movement from cpu_stream — comparator here
@@ -157,30 +197,32 @@ def request_planes(md: MDRXMetadata, tol: float) -> List[int]:
 
     min_error = acc
     for i in range(nl):
-        min_error -= float(errors[i][index[i]])
-        min_error += float(errors[i][-1])
+        min_error -= w_est[i] * float(errors[i][index[i]])
+        min_error += w_est[i] * float(errors[i][-1])
         if index[i] == 0:
-            acc -= float(errors[i][index[i]])
-            acc += float(errors[i][index[i] + 1])
+            acc -= w_est[i] * float(errors[i][index[i]])
+            acc += w_est[i] * float(errors[i][index[i] + 1])
             index[i] += 1
         if index[i] != nb:
-            gain = float(errors[i][index[i]]) - float(errors[i][index[i] + 1])
+            gain = w_gain[i] * (float(errors[i][index[i]])
+                                - float(errors[i][index[i] + 1]))
             size = float(md.level_sizes[i][index[i]])
             push(gain / size if size else math.inf, i)
-        if min_error < tol:
+        if min_error < target:
             break
 
-    tolerance_met = acc < tol
+    tolerance_met = acc < target
     while not tolerance_met and heap:
         _, i = pop()
         j = index[i]
-        acc -= float(errors[i][j])
-        acc += float(errors[i][j + 1])
-        if acc < tol:
+        acc -= w_est[i] * float(errors[i][j])
+        acc += w_est[i] * float(errors[i][j + 1])
+        if acc < target:
             tolerance_met = True
         index[i] += 1
         if index[i] < nb:
-            gain = float(errors[i][index[i]]) - float(errors[i][index[i] + 1])
+            gain = w_gain[i] * (float(errors[i][index[i]])
+                                - float(errors[i][index[i] + 1]))
             size = float(md.level_sizes[i][index[i]])
             push(gain / size if size else math.inf, i)
     # round up to whole 4-plane groups (ComposedReconstructor.hpp:288-295).
@@ -399,8 +441,9 @@ class MDRXArchive:
         self._offsets: Optional[List[np.ndarray]] = None
         self._groups: dict = {}  # (level, first_bp) -> (GROUP, row_len) u32
 
-    def request(self, tol: float) -> List[int]:
-        return request_planes(self.md, tol)
+    def request(self, tol: float, s: float = math.inf) -> List[int]:
+        return request_planes(self.md, tol, s=s,
+                              num_dims=len(self.header.shape))
 
     def _group_rows(self, l: int, bp: int, row_len: int) -> np.ndarray:
         key = (l, bp)
@@ -432,13 +475,15 @@ class MDRXArchive:
         return rows
 
     def reconstruct(self, tol: float,
-                    planes: Optional[Sequence[int]] = None) -> np.ndarray:
-        """Reconstruct at tolerance `tol` (s = inf requests, the mdr-x
-        default). `planes` overrides the greedy request with explicit
-        per-level bitplane counts."""
+                    planes: Optional[Sequence[int]] = None,
+                    s: float = math.inf) -> np.ndarray:
+        """Reconstruct at tolerance `tol` (s = inf absolute-error
+        requests, the mdr-x default; finite s = the L2 request the
+        reference runs for hierarchical archives). `planes` overrides
+        the greedy request with explicit per-level bitplane counts."""
         md, hier = self.md, self.hier
         nb = int(md.num_bitplanes)
-        counts = list(planes) if planes is not None else self.request(tol)
+        counts = list(planes) if planes is not None else self.request(tol, s)
 
         dec = np.zeros(hier.shape, np.float64)
         if self._offsets is None:
@@ -472,9 +517,7 @@ def reconstruct_mdrx(path: str, tol: float, s: float = math.inf,
                      planes: Optional[Sequence[int]] = None) -> np.ndarray:
     """One-shot reconstruction of a reference-written MDR-X directory at
     tolerance `tol` (use MDRXArchive directly for multi-tolerance reads)."""
-    if not math.isinf(s):
-        raise FormatError("MDR-X cross-reading supports s=inf requests")
-    return MDRXArchive(path).reconstruct(tol, planes=planes)
+    return MDRXArchive(path).reconstruct(tol, planes=planes, s=s)
 
 
 # ----------------------------------------------------------------------

@@ -100,17 +100,13 @@ def main(argv=None):
             # a reference mdr-x DIRECTORY archive (header | metadata |
             # component_*): cross-read it (formats/mdrx_stream.py); one
             # MDRXArchive caches decoded groups/offsets across tolerances
-            from ..formats.metadata import FormatError
             from ..formats.mdrx_stream import MDRXArchive
 
-            if not math.isinf(s):
-                raise FormatError(
-                    "MDR-X cross-reading supports s=inf requests")
             archive = MDRXArchive(infile)
             out = None
             orig_path = get("-g")
             for tol in tols:
-                out = archive.reconstruct(tol)
+                out = archive.reconstruct(tol, s=s)
                 msg = f"[info] tol={tol:.3e} (reference MDR-X archive)"
                 if orig_path:
                     v = np.fromfile(orig_path, dtype=out.dtype)[

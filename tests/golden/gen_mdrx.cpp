@@ -143,7 +143,7 @@ int do_refactor() {
   return 0;
 }
 
-int do_reconstruct(double tol) {
+int do_reconstruct(double tol, double s) {
   Config config = make_config();
   std::vector<SIZE> shp(kShape);
 
@@ -159,7 +159,7 @@ int do_reconstruct(double tol) {
 
   for (auto &metadata : refactored_metadata.metadata) {
     metadata.requested_tol = tol;
-    metadata.requested_s = std::numeric_limits<double>::infinity();
+    metadata.requested_s = s;
   }
   mgard_x::MDR::MDRequest<3, float, SERIAL>(shp, refactored_metadata, config);
   for (auto &md : refactored_metadata.metadata) {
@@ -197,7 +197,10 @@ int do_reconstruct(double tol) {
       false);
 
   char name[64];
-  std::snprintf(name, sizeof(name), "mdrx_rec_%.0e.bin", tol);
+  if (std::isinf(s))
+    std::snprintf(name, sizeof(name), "mdrx_rec_%.0e.bin", tol);
+  else
+    std::snprintf(name, sizeof(name), "mdrx_rec_%.0e_s%g.bin", tol, s);
   std::size_t n = 33 * 33 * 33;
   dump(name, reconstructed_data.data[0], n * sizeof(float));
 
@@ -352,7 +355,9 @@ int main(int argc, char **argv) {
   if (argc > 1 && std::string(argv[1]) == "refactor")
     return do_refactor();
   if (argc > 2 && std::string(argv[1]) == "reconstruct")
-    return do_reconstruct(std::atof(argv[2]));
+    return do_reconstruct(std::atof(argv[2]),
+                          argc > 3 ? std::atof(argv[3])
+                                   : std::numeric_limits<double>::infinity());
   if (argc > 1 && std::string(argv[1]) == "refactor3")
     return do_refactor3();
   if (argc > 2 && std::string(argv[1]) == "reconstruct3")

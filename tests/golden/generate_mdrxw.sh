@@ -39,6 +39,10 @@ write_mdrx('mdrx', v)
 # fresh process per reference-library call (CompressorCache state leak)
 ./gen_mdrx reconstruct 1e-1
 ./gen_mdrx reconstruct 1e-3
+# finite-s (L2) requests on our honest squared-error tables: the printed
+# "requested planes" lines are pinned in test_mdrx_finite_s_requests
+./gen_mdrx reconstruct 1e-1 0
+./gen_mdrx reconstruct 1e-3 0
 rm -rf "$HERE/mdrxw"
 cp -r mdrx "$HERE/mdrxw"
 python -c "

@@ -236,6 +236,30 @@ def test_mdrx_write_reference_reads(tmp_path):
                                    ref.astype(np.float64), rtol=0, atol=1e-6)
 
 
+def test_mdrx_finite_s_requests():
+    """Finite-s (L2) requests on our written archive reproduce the
+    reference's own GenerateRequest exactly (L2ErrorEstimator_HB over
+    the honest squared-error tables; requests pinned from the reference
+    SERIAL build running `gen_mdrx reconstruct <tol> 0` on mdrxw/, whose
+    reconstructions agree with ours to 1 ulp), while reference-written
+    archives — whose shipped refactor leaves the tables uninitialized —
+    are rejected with a clear error instead of silently missing the
+    bound like the reference does."""
+    from mgard_tpu.formats.metadata import FormatError
+    from mgard_tpu.formats.mdrx_stream import MDRXArchive
+
+    a = MDRXArchive(os.path.join(GOLD, "mdrxw"))
+    assert a.request(1e-1, s=0.0) == [12, 16, 16, 16, 12, 12]
+    assert a.request(1e-3, s=0.0) == [20, 32, 32, 32, 32, 32]
+    v = _input()
+    out = a.reconstruct(1e-1, s=0.0)
+    l2 = float(np.sqrt(np.mean((out.astype(np.float64) - v) ** 2)))
+    assert l2 <= 1e-1
+
+    with pytest.raises(FormatError, match="squared-error tables"):
+        reconstruct_mdrx(ARCHIVE, 1e-1, s=0.0)
+
+
 def test_mdrx_write_cli(tmp_path):
     """mdr-tpu -z --ref-format writes a reference directory archive that
     round-trips through the -x directory branch."""
