@@ -163,7 +163,8 @@ def request_planes(md: MDRXMetadata, tol: float, s: float = math.inf,
             n_l = float(md.level_num_elems[l])
             cap = n_l * bound * bound * 1.0000001 + 1e-300
             if np.any(np.diff(tab) > 1e-12 * tab[:-1] + 1e-300) or \
-                    float(tab[0]) > cap:
+                    np.any(np.isnan(tab)) or float(tab[0]) > cap or \
+                    (bound > 0 and float(tab[0]) <= 0):
                 raise FormatError(
                     "archive carries no usable squared-error tables (the "
                     "reference refactor leaves them uninitialized) — "
@@ -576,9 +577,16 @@ def write_mdrx(path: str, data, num_bitplanes: int = 32) -> None:
 
         NF = (n + _BATCH - 1) // _BATCH
         pad = np.zeros(NF * _BATCH, np.float32)
-        # power-of-two scale: exact in f32, same as the reference's
-        # integer-shift (exp > 0) and pow (exp <= 0) paths
-        pad[:n] = coefs * np.float32(math.ldexp(1.0, B - exp))
+        # power-of-two scale, multiplied in f64 then rounded to f32 like
+        # the reference's pow path (the factor itself can exceed f32
+        # range for tiny level bounds; the product never does)
+        scale = math.ldexp(1.0, B - exp)
+        if not math.isfinite(scale):
+            raise FormatError(
+                f"level {l} bound {bound:g} is too small to bitplane-"
+                f"encode (scale 2^{B - exp} overflows)"
+            )
+        pad[:n] = (coefs.astype(np.float64) * scale).astype(np.float32)
         fp = np.abs(pad).astype(np.uint32).reshape(_BATCH, NF)
         sign = np.signbit(pad).reshape(_BATCH, NF)
 

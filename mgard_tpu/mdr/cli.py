@@ -71,6 +71,11 @@ def main(argv=None):
             # write the reference mdr-x DIRECTORY format instead of the
             # native file (the reference build reconstructs it; pinned by
             # tests/golden/mdrxw_*)
+            if dtype != np.float32:
+                print_usage("--ref-format archives carry float32 data "
+                            "(use -dt s)")
+            if cfg.total_num_bitplanes != 32:
+                print_usage("--ref-format archives use 32 bitplanes")
             from ..formats.mdrx_stream import write_mdrx
 
             write_mdrx(outfile, v, num_bitplanes=cfg.total_num_bitplanes)
@@ -111,9 +116,17 @@ def main(argv=None):
                 if orig_path:
                     v = np.fromfile(orig_path, dtype=out.dtype)[
                         : out.size].reshape(out.shape)
-                    err = float(np.max(np.abs(v - out)))
-                    msg += (f" actual_Linf={err:.3e} "
-                            f"({'OK' if err <= tol else 'MISS'})")
+                    diff = v.astype(np.float64) - out.astype(np.float64)
+                    if math.isinf(s):
+                        err = float(np.max(np.abs(diff)))
+                        msg += (f" actual_Linf={err:.3e} "
+                                f"({'OK' if err <= tol else 'MISS'})")
+                    else:
+                        # finite-s requests target an L2-class bound; an
+                        # Linf verdict would report spurious MISSes
+                        err = float(np.sqrt(np.mean(diff * diff)))
+                        msg += (f" actual_L2={err:.3e} "
+                                f"({'OK' if err <= tol else 'MISS'})")
                 print(msg)
             if out is not None:
                 out.tofile(outfile)

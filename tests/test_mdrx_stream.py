@@ -260,6 +260,19 @@ def test_mdrx_finite_s_requests():
         reconstruct_mdrx(ARCHIVE, 1e-1, s=0.0)
 
 
+def test_mdrx_write_tiny_magnitudes(tmp_path):
+    """Levels whose bound is far below 1 need the f64 scaling path (the
+    2^(B-exp) factor alone overflows f32): a ~1e-30 field must still
+    round-trip within a relative tolerance."""
+    from mgard_tpu.formats.mdrx_stream import MDRXArchive, write_mdrx
+
+    v = (_make_field((17, 17, 17)) * np.float32(1e-30)).astype(np.float32)
+    d = str(tmp_path / "tiny")
+    write_mdrx(d, v)
+    out = MDRXArchive(d).reconstruct(1e-33)
+    assert float(np.max(np.abs(out.astype(np.float64) - v))) <= 1e-33
+
+
 def test_mdrx_write_cli(tmp_path):
     """mdr-tpu -z --ref-format writes a reference directory archive that
     round-trips through the -x directory branch."""
