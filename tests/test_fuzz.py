@@ -158,3 +158,40 @@ def test_reference_stream_byte_flip_sweep(name):
         else:
             assert out is None
         blob[pos] = orig
+
+
+@pytest.mark.parametrize("comp", ["component_0_7_0", "component_0_7_4",
+                                  "metadata"])
+def test_mdrx_archive_flip_sweep(comp, tmp_path):
+    """Seeded byte flips + truncations on the compressed MDR-X group
+    containers (MGXRLEC component_0_7_0, MGXHUFF component_0_7_4) and
+    the metadata struct: reconstruction must either succeed or raise
+    FormatError — never crash, hang, or leak a raw numpy/struct error."""
+    import os
+    import shutil
+
+    from mgard_tpu.formats.metadata import FormatError
+    from mgard_tpu.formats.mdrx_stream import reconstruct_mdrx
+
+    src = os.path.join(os.path.dirname(__file__), "golden", "mdrx3")
+    arch = tmp_path / "mdrx3"
+    shutil.copytree(src, arch)
+    target = arch / comp
+    orig = target.read_bytes()
+    rng = np.random.RandomState(7)
+    cases = [("flip", int(p)) for p in
+             rng.choice(len(orig), size=8, replace=False)]
+    cases += [("trunc", int(p)) for p in
+              rng.choice(len(orig), size=4, replace=False)]
+    for kind, pos in cases:
+        if kind == "flip":
+            buf = bytearray(orig)
+            buf[pos] ^= 0x5A
+            target.write_bytes(bytes(buf))
+        else:
+            target.write_bytes(orig[:pos])
+        try:
+            reconstruct_mdrx(str(arch), 2e-2)
+        except FormatError:
+            pass
+        target.write_bytes(orig)
