@@ -323,6 +323,135 @@ int do_reconstruct3(double tol, bool trim) {
   return 0;
 }
 
+// Domain-decomposed archive: a small max_memory_footprint forces the
+// DomainDecomposer to split 33^3 into MaxDim slabs, each refactored as
+// an independent subdomain (component_<sub>_<level>_<bitplane>).
+int do_refactor_dd() {
+  std::vector<std::size_t> shv(kShape.begin(), kShape.end());
+  auto v = make_field<float>(shv);
+  mkdir("mdrx_dd", 0755);
+  Config config = make_config();
+  config.max_memory_footprint = 1 << 20;
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  std::vector<SIZE> shp(kShape);
+  mgard_x::MDR::MDRefactor<3, float, SERIAL>(
+      shp, v.data(), refactored_metadata, refactored_data, config, false);
+
+  std::vector<Byte> serialized_metadata = refactored_metadata.Serialize();
+  dump("mdrx_dd/header", refactored_metadata.header.data(),
+       refactored_metadata.header.size());
+  dump("mdrx_dd/metadata", serialized_metadata.data(),
+       serialized_metadata.size());
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      for (std::size_t bp = 0; bp < md.level_sizes[l].size(); bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          dump("mdrx_dd/component_" + std::to_string(sub) + "_" +
+                   std::to_string(l) + "_" + std::to_string(bp),
+               refactored_data.data[sub][l][bp], md.level_sizes[l][bp]);
+        }
+      }
+    }
+  }
+  std::printf("refactored_dd: %zu subdomains\n",
+              refactored_metadata.metadata.size());
+  return 0;
+}
+
+int do_reconstruct_dd(double tol) {
+  Config config = make_config();
+  config.max_memory_footprint = 1 << 20;
+  std::vector<SIZE> shp(kShape);
+
+  mgard_x::MDR::RefactoredMetadata refactored_metadata;
+  mgard_x::MDR::RefactoredData refactored_data;
+  mgard_x::MDR::ReconstructedData reconstructed_data;
+
+  refactored_metadata.header = slurp("mdrx_dd/header");
+  refactored_metadata.Deserialize(slurp("mdrx_dd/metadata"));
+  refactored_metadata.InitializeForReconstruction();
+  refactored_data.InitializeForReconstruction(refactored_metadata);
+
+  for (auto &metadata : refactored_metadata.metadata) {
+    metadata.requested_tol = tol;
+    metadata.requested_s = std::numeric_limits<double>::infinity();
+  }
+  mgard_x::MDR::MDRequest<3, float, SERIAL>(shp, refactored_metadata, config);
+  for (auto &md : refactored_metadata.metadata) {
+    std::printf("requested planes:");
+    for (auto b : md.requested_level_num_bitplanes)
+      std::printf(" %d", (int)b);
+    std::printf("\n");
+  }
+
+  for (std::size_t sub = 0; sub < refactored_metadata.metadata.size(); sub++) {
+    auto &md = refactored_metadata.metadata[sub];
+    for (std::size_t l = 0; l < md.level_sizes.size(); l++) {
+      int loaded = md.loaded_level_num_bitplanes[l];
+      int requested = md.requested_level_num_bitplanes[l];
+      for (int bp = loaded; bp < requested; bp++) {
+        if (md.level_sizes[l][bp] > 0) {
+          std::vector<Byte> blob =
+              slurp("mdrx_dd/component_" + std::to_string(sub) + "_" +
+                    std::to_string(l) + "_" + std::to_string(bp));
+          Byte *buf = (Byte *)malloc(blob.size() * 4 + (1 << 16));
+          std::memcpy(buf, blob.data(), blob.size());
+          refactored_data.data[sub][l][bp] = buf;
+        }
+      }
+      refactored_data.level_signs[sub][l] =
+          (bool *)calloc(md.level_num_elems[l] + 4096, sizeof(bool));
+    }
+  }
+
+  mgard_x::MDR::MDReconstruct<3, float, SERIAL>(
+      shp, refactored_metadata, refactored_data, reconstructed_data, config,
+      false);
+
+  char name[64];
+  std::snprintf(name, sizeof(name), "mdrx_dd_rec_%.0e.bin", tol);
+  std::size_t n = 33 * 33 * 33;
+  // domain-decomposed reconstruction returns one buffer per subdomain
+  std::FILE *f = std::fopen(name, "wb");
+  std::size_t written = 0;
+  for (std::size_t sub = 0; sub < reconstructed_data.data.size(); sub++) {
+    std::size_t sn = 1;
+    // slab sizes along the decomposed dim recorded in offset/shape
+    sn = reconstructed_data.shape[sub][0] * reconstructed_data.shape[sub][1] *
+         reconstructed_data.shape[sub][2];
+    std::fwrite(reconstructed_data.data[sub], sizeof(float), sn, f);
+    written += sn;
+    std::printf("subdomain %zu shape %u %u %u offset %u %u %u\n", sub,
+                (unsigned)reconstructed_data.shape[sub][0],
+                (unsigned)reconstructed_data.shape[sub][1],
+                (unsigned)reconstructed_data.shape[sub][2],
+                (unsigned)reconstructed_data.offset[sub][0],
+                (unsigned)reconstructed_data.offset[sub][1],
+                (unsigned)reconstructed_data.offset[sub][2]);
+  }
+  std::fclose(f);
+
+  auto v = make_field<float>(std::vector<std::size_t>(kShape.begin(),
+                                                      kShape.end()));
+  double linf = 0;
+  std::size_t vi = 0;
+  for (std::size_t sub = 0; sub < reconstructed_data.data.size(); sub++) {
+    const float *r = (const float *)reconstructed_data.data[sub];
+    std::size_t sn = reconstructed_data.shape[sub][0] *
+                     reconstructed_data.shape[sub][1] *
+                     reconstructed_data.shape[sub][2];
+    for (std::size_t i = 0; i < sn; i++)
+      linf = std::max(linf, std::abs((double)v[vi + i] - r[i]));
+    vi += sn;
+  }
+  std::printf("tol %.0e: reference dd reconstruction L_inf %.3e (n=%zu)\n",
+              tol, linf, vi);
+  return 0;
+}
+
 // SingleDim-decomposition archive (header + metadata only): the
 // cross-reader must reject it cleanly, not silently recompose MultiDim.
 int do_refactor_sd() {
@@ -365,6 +494,10 @@ int main(int argc, char **argv) {
                            argc > 3 && std::string(argv[3]) == "--trim");
   if (argc > 1 && std::string(argv[1]) == "refactor_sd")
     return do_refactor_sd();
+  if (argc > 1 && std::string(argv[1]) == "refactor_dd")
+    return do_refactor_dd();
+  if (argc > 2 && std::string(argv[1]) == "reconstruct_dd")
+    return do_reconstruct_dd(std::atof(argv[2]));
   std::printf("usage: gen_mdrx refactor | reconstruct <tol> | refactor3 | "
               "reconstruct3 <tol> [--trim] | refactor_sd\n");
   return 2;

@@ -187,6 +187,27 @@ def test_mdrx_singledim_rejected():
         reconstruct_mdrx(os.path.join(GOLD, "mdrx_sd"), 1e-2)
 
 
+def test_mdrx_domain_decomposed_rejected():
+    """A domain-decomposed archive (reference-written header+metadata,
+    4 MaxDim subdomains) is rejected cleanly. Investigation pinned in
+    the golden: the reference's OWN dd MDR path is broken in SERIAL —
+    the refactor writes garbage level bounds (6e16 at level 1 of every
+    subdomain, golden mdrx_dd/metadata), its requests blow up to all 32
+    planes, and its own reconstruction returns L_inf ~1e10 — so there is
+    no valid dd archive to cross-read (reproduce: gen_mdrx refactor_dd /
+    reconstruct_dd)."""
+    from mgard_tpu.formats.metadata import FormatError
+    from mgard_tpu.formats.mdrx_stream import read_metadata
+
+    archive = os.path.join(GOLD, "mdrx_dd")
+    mds = read_metadata(archive)
+    assert len(mds) == 4
+    # the reference-written garbage bound, pinned as evidence
+    assert float(mds[0].level_error_bounds[1]) > 1e15
+    with pytest.raises(FormatError, match="one.*subdomain|subdomain"):
+        reconstruct_mdrx(archive, 1e-1)
+
+
 def test_mdrx_truncated_metadata_fails_cleanly(tmp_path):
     import shutil
 
