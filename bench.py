@@ -12,15 +12,22 @@ BFP unpack -> dequantize -> recompose). Host<->device bulk staging is
 excluded: on this rig the accelerator is behind a ~4 MB/s relay tunnel that
 would measure the tunnel, not the compressor.
 
-Timing method: each rep is synced by exactly ONE relay round trip (a
-one-element readback of the output — block_until_ready returns early
-through this rig's relay AND costs its own ~25 ms round trip, so it is
-not used in the timed loop; measured in scripts/prof_calib.py: a trivial
-537 MB elementwise op times at 2.8 ms with one sync vs 27.6 ms with two).
-The separately-measured readback floor (~25 ms of pure tunnel latency,
-not device time) is subtracted. Dispatching reps back-to-back without
-syncing is NOT used: queued whole-pipeline executions hold their output
-buffers and the resulting HBM pressure stalls the device.
+Timing method: K_INNER iterations of the pipeline run INSIDE one XLA
+program (lax.fori_loop), so one dispatch + one one-element readback
+times K_INNER full executions. The loop carry is threaded into the
+pipeline inputs through a non-foldable select (defeats loop-invariant
+code motion) and every output leaf feeds a strided-max probe into the
+carry (defeats dead-code elimination), so each iteration re-executes
+the whole pipeline; the probe/select overhead is a small CONSERVATIVE
+bias (reported throughput slightly under-states the device). The
+separately-measured readback floor (~21 ms of pure relay-tunnel
+latency, not device time) is subtracted once and amortized over
+K_INNER, cutting its run-to-run jitter contribution ~8x vs per-rep
+sync timing (the jitter made identical configs read 47.8 vs 22.2 GB/s
+on decompress across sessions). Dispatching reps back-to-back WITHOUT
+a loop is not used: queued whole-pipeline executions hold their output
+buffers and the resulting HBM pressure stalls the device; the in-loop
+form reuses one iteration's buffers.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
@@ -163,7 +170,7 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
     print(f"# n={n} err={err:.3e} bound_ok={ok} ratio={ratio:.2f}",
           file=sys.stderr)
 
-    # ---- timed (per-rep sync; subtract the pure readback-latency floor)
+    # ---- timed (K_INNER executions inside one XLA program; see docstring)
     noop = jax.jit(lambda x: x[0, 0, 0] * 1.0)
     float(noop(v))
     floor = float("inf")
@@ -173,20 +180,71 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
         floor = min(floor, time.perf_counter() - t0)
     print(f"# readback floor: {floor*1e3:.1f} ms", file=sys.stderr)
 
+    K_INNER = 8
+
+    def _probe(out):
+        # touch every output leaf (strided max) so no iteration output is
+        # dead; folds into the loop carry
+        acc = jnp.float32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            fl = leaf.ravel()
+            st = max(1, fl.size // 64)
+            acc = acc + fl[::st].astype(jnp.float32).max()
+        return acc
+
+    @jax.jit
+    def compress_k(v, quant):
+        def body(i, s):
+            # non-foldable select: quant2 == quant at runtime, but depends
+            # on the carry, so the body cannot be hoisted out of the loop
+            q2 = jnp.where(s >= jnp.float32(-1e30), quant, quant * 2)
+            pay, cw, rem_sym = H._compress_core_hybrid_v2(
+                v, q2, padded, nl, rem_hier, C
+            )
+            crl_ = jnp.clip(cw - K, 0, E)
+            cf = bfp.encode_core_zz(
+                pay.reshape(-1, C * 32), crl_, K, E, sb, on_tpu, C
+            )
+            rs = jnp.concatenate([rem_sym, jnp.zeros(rem_pad - n_rem, jnp.int32)])
+            rem = bfp.encode_core(rs, Kr, E, sb, rem_exc_cap, on_tpu)
+            return _probe(cf + (crl_,) + rem)
+
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0))
+
+    @jax.jit
+    def decompress_k(base, resid2d, crl, rbase, rcrl, rresid2d, rexc_ids,
+                     rexc_blocks, quant):
+        def body(i, s):
+            # runtime-zero mask xored into the packed inputs: every decode
+            # kernel becomes loop-variant without changing its bytes
+            m = jnp.where(s >= jnp.float32(-1e30), jnp.uint32(0),
+                          jnp.uint32(1))
+            b2 = base ^ m.astype(base.dtype)
+            rb2 = rbase ^ m.astype(rbase.dtype)
+            zz_rows = bfp.decode_core_zz(b2, crl, resid2d, K, E, sb, on_tpu,
+                                         NB, C)
+            rem_sym = bfp.decode_core(rb2, rcrl, rresid2d, rexc_ids,
+                                      rexc_blocks, Kr, E, sb, on_tpu,
+                                      NBr)[:n_rem]
+            rec = H._decompress_core_hybrid_v2(
+                zz_rows, rem_sym, quant, shape, padded, nl, rem_hier, C
+            )
+            return _probe(rec)
+
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0))
+
     def timed(fn, *args):
         out = fn(*args)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+        float(out)  # warm + sync
         best = float("inf")
-        for _ in range(reps):
+        for _ in range(max(2, reps // 2)):
             t0 = time.perf_counter()
-            out = fn(*args)
-            # ONE sync: the tiny readback (see module docstring)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            float(fn(*args))  # one dispatch, one scalar readback
             best = min(best, time.perf_counter() - t0)
-        return max(best - floor, 1e-6)
+        return max((best - floor) / K_INNER, 1e-6)
 
-    t_c = timed(compress_fn, v, quant)
-    t_d = timed(decompress_fn, base, resid2d, crl, rbase, rcrl, rresid2d,
+    t_c = timed(compress_k, v, quant)
+    t_d = timed(decompress_k, base, resid2d, crl, rbase, rcrl, rresid2d,
                 rexc_ids, rexc_blocks, quant)
     print(
         f"# compress {t_c*1e3:.1f} ms ({nbytes/t_c/1e9:.2f} GB/s), "
