@@ -96,20 +96,55 @@ def main():
         float(noop(vj))
         floor = min(floor, time.perf_counter() - t0)
 
-    def timed(fn, *a, reps=4):
-        out = fn(*a)
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+    # K_INNER executions inside one XLA program (bench.py's method): at
+    # this 50 MB shape the per-rep compute (~ms) is far below the ~21 ms
+    # relay sync floor, so per-rep sync timing measures mostly jitter
+    K_INNER = 8
+
+    def _probe(out):
+        acc = jnp.float32(0)
+        for leaf in jax.tree_util.tree_leaves(out):
+            fl = leaf.ravel()
+            st = max(1, fl.size // 64)
+            acc = acc + fl[::st].astype(jnp.float32).max()
+        return acc
+
+    @jax.jit
+    def comp_k(vj, quant):
+        def body(i, s):
+            q2 = jnp.where(s >= jnp.float32(-1e30), quant, quant * 2)
+            sym = H._compress_core_sym(vj, q2, hier, False, True).ravel()
+            if npad != N:
+                sym = jnp.concatenate([sym, jnp.zeros(npad - N, jnp.int32)])
+            return _probe(bfp.encode_core(sym, K, E, sb, exc_cap, on_tpu))
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0))
+
+    @jax.jit
+    def decomp_k(base, crl, resid2d, exc_ids, exc_blocks, quant):
+        def body(i, s):
+            m = jnp.where(s >= jnp.float32(-1e30), jnp.uint32(0),
+                          jnp.uint32(1))
+            b2 = base ^ m.astype(base.dtype)
+            sym = bfp.decode_core(b2, crl, resid2d, exc_ids, exc_blocks,
+                                  K, E, sb, on_tpu, NB)[:N]
+            return _probe(H._decompress_core_sym(
+                sym.reshape(shape), quant, hier, False, True))
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0))
+
+    def timed_k(fn, *a, reps=4):
+        float(fn(*a))
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
-            out = fn(*a)
-            _ = np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[:1])
+            float(fn(*a))
             best = min(best, time.perf_counter() - t0)
-        return out, max(best - floor, 1e-6)
+        return max((best - floor) / K_INNER, 1e-6)
 
-    out, t_c = timed(comp, vj, quant)
+    out = comp(vj, quant)
+    t_c = timed_k(comp_k, vj, quant)
     assert int(out[6]) <= exc_cap, "exception bucket overflow in bench"
-    rec, t_d = timed(decomp, out[0], out[1], out[2], out[4], out[5], quant)
+    rec = decomp(out[0], out[1], out[2], out[4], out[5], quant)
+    t_d = timed_k(decomp_k, out[0], out[1], out[2], out[4], out[5], quant)
     err = float(jnp.max(jnp.abs(rec - vj)))
     # compacted wire words (serialize strips band row padding): each chunk
     # ships one word per band (CHUNK) per active residual plane (crl)
