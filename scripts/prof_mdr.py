@@ -36,13 +36,33 @@ def main(n=384):
     fn = _refactor_device(hier, B, False, True)
     out = fn(vj)
     np.asarray(out[0][0].ravel()[:1])
+
+    # K_INNER executions inside one XLA program (bench.py's method) so
+    # the ~21 ms relay sync floor is amortized instead of subtracted
+    # rep-by-rep from a same-order signal
+    K_INNER = 8
+
+    @jax.jit
+    def ref_k(vj):
+        def body(i, s):
+            f = jnp.where(s >= jnp.float32(-1e30), jnp.float32(1),
+                          jnp.float32(2))
+            o = fn(vj * f)
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(o):
+                fl = leaf.ravel()
+                st = max(1, fl.size // 64)
+                acc = acc + fl[::st].astype(jnp.float32).max()
+            return acc
+        return jax.lax.fori_loop(0, K_INNER, body, jnp.float32(0))
+
+    float(ref_k(vj))
     best = float("inf")
     for _ in range(4):
         t0 = time.perf_counter()
-        out = fn(vj)
-        _ = np.asarray(out[0][0].ravel()[:1])
+        float(ref_k(vj))
         best = min(best, time.perf_counter() - t0)
-    t = max(best - floor, 1e-6)
+    t = max((best - floor) / K_INNER, 1e-6)
     print(f"refactor device  {t*1e3:8.2f} ms  {nbytes/t/1e9:6.2f} GB/s")
 
     # full MDRefactor wall (incl. host level compression)
