@@ -558,7 +558,15 @@ def _tile_shape_v2(shape, vmem_budget_elems=1 << 19):
         cand *= 2
     t[d] = best
     if t[d] % 128 and t[d] != size:
-        return None
+        # long last axes (Z > 512): the doubling loop cannot reach the
+        # 128-wide middle tile inside the base budget, but one (8, 128, Z)
+        # tile is only ~4 MB f32 at Z=1024 — admit exactly that shape
+        # under a raised budget so 768^3/1024-wide fields keep the fused
+        # path (the benched Z<=512 tiles are unchanged)
+        if size % 128 == 0 and 8 * 128 * Z <= (1 << 20):
+            t[d] = 128
+        else:
+            return None
     for s, ts in zip(shape, t):
         if s % ts:
             return None
