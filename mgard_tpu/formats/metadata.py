@@ -41,7 +41,7 @@ SOFTWARE_VERSION = (0, 2, 0)
 # added, Huffman_LZ4 payload switched zlib -> native LZ4): older streams are
 # rejected with a clean unsupported-version error instead of parsing with
 # shifted offsets (reference analogue: version gate in Metadata.hpp:20-75).
-FILE_VERSION = (2, 0, 0)
+FILE_VERSION = (2, 1, 0)  # 2.1: hybrid front-end flag 2 (fused v3 tile-major streams)
 
 
 class FormatError(ValueError):

@@ -295,6 +295,93 @@ def _hybrid_v2_ok(padded, dtype, config: Config) -> bool:
     )
 
 
+@partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "K", "E"))
+def _compress_core_hybrid_v3(v, q_scalar, padded, nl, rem_hier, K, E):
+    """Fused v3 compress device phase: ONE Pallas kernel from field to
+    banded payload (+ the small remainder stream through the regular
+    decompose+quantize). The _hybrid_v3_ok gate guarantees the kernel
+    accepts the shape. Returns (base, resid, cw, rem_sym)."""
+    from .ops import hybrid as Hy
+
+    pad = [(0, p - sdim) for sdim, p in zip(v.shape, padded)]
+    if any(p for _, p in pad):
+        v = jnp.pad(v, pad, mode="edge")
+    inv_q = (1.0 / q_scalar).astype(v.dtype)
+    base, resid, cw, rem = Hy.local_transform_pack_v3(v, inv_q, nl, K, E)
+    rem_dec = decompose(rem, rem_hier, orthogonal=False)
+    half = jnp.asarray(0.5, v.dtype)
+    t = rem_dec * inv_q
+    rem_sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+    return base, resid, cw, rem_sym.ravel()
+
+
+def _v3_params(config: Config, padded):
+    """(K, E, C) for the fused v3 path, K = None when no base-plane count
+    is known yet (explicit/autotuned Config.bfp_base_planes, else the
+    sticky per-shape cache the v2 serializer fills — the FIRST stream of a
+    shape rides v2 and primes it; every later stream fuses)."""
+    from .lossless import bfp as _bfp
+
+    Z = padded[-1]
+    C = Z // 32
+    E = int(getattr(config, "bfp_resid_planes", 0) or _bfp.E_DEFAULT)
+    n_cf = int(np.prod(padded))
+    K_cfg = int(getattr(config, "bfp_base_planes", 0) or 0)
+    if K_cfg:
+        return K_cfg, E, C
+    ent = _bfp._K_CACHE.get(("v2", n_cf, E, C, 0))
+    if ent:
+        return int(ent[0]), E, C
+    return None, E, C
+
+
+def _hybrid_v3_ok(padded, dtype, config: Config) -> bool:
+    """Gate for the FUSED transform+pack path (ops/hybrid.py v3 kernels):
+    the whole compress device phase is ONE Pallas kernel per direction —
+    each (8, 128, Z) tile is one BFP superblock, so the u16 payload never
+    round-trips HBM and the sort plan is computed in-kernel. Engages only
+    when the base-plane count K is already known (see _v3_params) and the
+    u16 budget holds."""
+    from .ops.hybrid import v3_ok_shape
+
+    if not (
+        jax.default_backend() == "tpu"
+        and np.dtype(dtype) == np.float32
+        and config.lossless == lossless_type.BFP
+        and bool(config.hybrid_level_grouping)
+        and not int(getattr(config, "bfp_chunk", 0) or 0)
+        and not int(getattr(config, "bfp_sb_blocks", 0) or 0)
+        and v3_ok_shape(padded)
+    ):
+        return False
+    K, E, _C = _v3_params(config, padded)
+    return K is not None and 1 <= E <= 15 and K + E <= 16
+
+
+@partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier",
+                                   "K", "E"))
+def _decompress_core_hybrid_v3(base, crl, resid, rem_sym, q_scalar, shape,
+                               padded, nl, rem_hier, K, E):
+    """Fused v3 inverse: static-slot banded payload + rem symbols ->
+    field. TPU: one Pallas kernel (unpack + un-sort + ungroup + dequantize
+    + local recompose); elsewhere the plain-XLA mirror so any host decodes
+    v3 streams."""
+    from .ops import hybrid as Hy
+
+    work = jnp.float32
+    q = q_scalar.astype(work)
+    rem_dec = (rem_sym.astype(work) * q).reshape(rem_hier.shape)
+    rem = recompose(rem_dec, rem_hier, orthogonal=False)
+    if jax.default_backend() == "tpu":
+        out = Hy.unpack_inverse_v3(base, crl, resid, rem, q, nl, K, E,
+                                   work, padded)
+        if out is not None:
+            return out[tuple(slice(0, s) for s in shape)]
+    out = Hy.unpack_inverse_v3_xla(base, crl, resid, rem, q, nl, K, E,
+                                   work, padded)
+    return out[tuple(slice(0, s) for s in shape)]
+
+
 @partial(jax.jit, static_argnames=("padded", "nl", "rem_hier", "C"))
 def _compress_core_hybrid_v2(v, q_scalar, padded, nl, rem_hier, C):
     """One-pass hybrid front-end: returns (payload u16 [grouped zigzag cf
@@ -459,6 +546,15 @@ def _dispatch_subdomain(
             remainder_shape(padded, nl), hier.dtype, None, config
         )
         q = _hybrid_quantizer(abs_tol, hybrid_l_total(padded, nl, rem_hier))
+        if _hybrid_v3_ok(padded, hier.dtype, config):
+            K, E, _C3 = _v3_params(config, padded)
+            base, resid, cw, rem_sym = _compress_core_hybrid_v3(
+                v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, K, E
+            )
+            rem_state = _raw_encode_device(rem_sym, config)
+            return ("hybrid_v3",
+                    (base, resid, cw, rem_state, v, hier, q, padded,
+                     nl, rem_hier, K, E))
         if _hybrid_v2_ok(padded, hier.dtype, config):
             C = _pick_v2_chunk(padded, config)
             pay, cw, rem_sym = _compress_core_hybrid_v2(
@@ -573,10 +669,47 @@ def _serialize_hybrid_v2(st, config: Config) -> list:
             + cf_parts + rem_parts)
 
 
+def _serialize_hybrid_v3(st, config: Config) -> list:
+    """Serialize the fused v3 front-end: flag byte 2, cf stream as a
+    static-slot BFP5 blob (tile-major chunk order), rem stream as a
+    standard lossless section. Falls back to the legacy single-stream
+    layout (flag 0) when the chunk widths exceed the configured budget
+    (a K from the sticky cache can undersize a new field)."""
+    from .lossless import bfp as _bfp
+    from .utils.bytesink import parts_size
+
+    (base, resid, cw, rem_state, v, hier, q, padded, nl, rem_hier,
+     K, E) = st
+    cw_h = np.asarray(cw).ravel()
+    if int(cw_h.max()) > K + E:
+        sym = _compress_core_hybrid(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
+            fused=_hybrid_fused_ok(padded, hier.dtype),
+            zgroup=bool(config.hybrid_level_grouping),
+        )
+        lt_eff, dev_state = _raw_encode_device(sym, config)
+        return ([_empty_outliers() + struct.pack("<B", 0)]
+                + _raw_section_parts(lt_eff, dev_state, config))
+    n_cf = int(np.prod(padded))
+    Z = padded[-1]
+    C = Z // 32
+    sb = 32 * Z
+    crl = np.clip(cw_h - K, 0, E).astype(np.int32)
+    cf_parts = _bfp.serialize_prepared_parts(
+        n_cf, K, E, sb, C, crl, base, resid, 0, static_cap=True
+    )
+    rem_parts = _raw_section_parts(rem_state[0], rem_state[1], config)
+    return ([_empty_outliers() + struct.pack("<B", 2)
+             + struct.pack("<Q", parts_size(cf_parts))]
+            + cf_parts + rem_parts)
+
+
 def _serialize_subdomain(state, config: Config, abs_tol: float, s: float,
                          orthogonal: bool, prep: bool) -> list:
     """Host phase: sync the dispatched state and build the payload as
     bytesink parts (the top-level assembly writes each byte once)."""
+    if state[0] == "hybrid_v3":
+        return _serialize_hybrid_v3(state[1], config)
     if state[0] == "hybrid_v2":
         return _serialize_hybrid_v2(state[1], config)
     if state[0] == "hybrid_raw":
@@ -1013,11 +1146,60 @@ def decompress(
                 and s_inf
                 and _raw_symbol_backend(meta.ltype)
             )
-            hybrid_v2 = False
+            hybrid_v2 = hybrid_v3 = False
             if hybrid_section:
                 (flag,) = struct.unpack_from("<B", blob, pos)
                 pos += 1
                 hybrid_v2 = flag == 1
+                hybrid_v3 = flag == 2
+                if flag > 2:
+                    raise FormatError(
+                        f"subdomain {i}: unknown hybrid front-end flag "
+                        f"{flag} (this build reads 0..2)"
+                    )
+            if hybrid_v3:
+                from .lossless import bfp as _bfp
+                from .ops.hybrid import (
+                    hybrid_l_total,
+                    pad_to8,
+                    remainder_shape,
+                )
+
+                _nl = max(1, min(3, int(meta.nlocal) or 1))
+                _padded = pad_to8(hier.shape)
+                (cf_len,) = struct.unpack_from("<Q", blob, pos)
+                pos += 8
+                base3d, crl, rbuf, (n_cf, K, E, sb, C), _used = (
+                    _bfp.deserialize_prepared(blob, pos, static_cap=True)
+                )
+                pos += cf_len
+                if n_cf != int(np.prod(_padded)) or sb != 32 * _padded[-1]:
+                    raise FormatError(
+                        f"subdomain {i}: hybrid-v3 cf stream geometry "
+                        f"(n={n_cf}, sb={sb}) does not match the domain "
+                        f"{_padded}"
+                    )
+                rem_sym, _used2 = lossless_decompress(blob, pos)
+                _rem_shape = remainder_shape(_padded, _nl)
+                if int(rem_sym.shape[0]) != int(np.prod(_rem_shape)):
+                    raise FormatError(
+                        f"subdomain {i}: hybrid-v3 rem stream has "
+                        f"{int(rem_sym.shape[0])} symbols, expected "
+                        f"{int(np.prod(_rem_shape))}"
+                    )
+                rem_hier = get_hierarchy(_rem_shape, dtype, None, cfg)
+                qh = _hybrid_quantizer(
+                    local_tol, hybrid_l_total(_padded, _nl, rem_hier)
+                )
+                NSB = (n_cf // 32) // sb
+                sbc = 1024
+                CAP = E * (sb // _bfp.LANES)
+                rec = _decompress_core_hybrid_v3(
+                    base3d, crl.reshape(NSB, sbc), rbuf[: NSB * CAP],
+                    rem_sym, jnp.asarray(qh, dtype), hier.shape, _padded,
+                    _nl, rem_hier, K, E,
+                )
+                return rec, sls
             if hybrid_v2:
                 from .lossless import bfp as _bfp
                 from .ops.hybrid import (

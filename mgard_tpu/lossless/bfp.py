@@ -554,11 +554,14 @@ def decode_core(base4d, crl, resid2d, exc_ids, exc_blocks, K: int, E: int,
 # guarantees no chunk exceeds K+E planes (it falls back to the generic
 # path otherwise), so the serialized blob is plain BFP5 with exc_count=0.
 # ----------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
 def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
-                   use_pallas: bool, C: int):
+                   use_pallas: bool, C: int, static_cap: bool = False):
     """payload_rows: (NC, C*32) u16 zigzag, already grouped, exception-free.
-    crl: (NC,) i32 residual lengths. Returns (base, resid2d, resid_rows)."""
+    crl: (NC,) i32 residual lengths. Returns (base, resid2d, resid_rows).
+    static_cap=True writes the fused-v3 fixed-slot residual layout
+    (superblock i's bands at row offset i*CAP; see _band_geometry) — the
+    XLA oracle for the fused transform+pack kernel."""
     NC = payload_rows.shape[0]
     NB = NC * C
     NSB = NB // sb
@@ -566,6 +569,9 @@ def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
     PR = sb // LANES
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
     rband, woff, sb_off, resid_rows = _plan_offsets(cnt_c, C)
+    if static_cap:
+        CAP = E * PR
+        sb_off = (jnp.arange(NSB, dtype=jnp.int32) * CAP)
     alloc_rows = (NSB + 1) * E * PR
     if use_pallas and payload_rows.dtype == jnp.uint16:
         # width sort happens in-kernel on the MXU (block-diagonal perm)
@@ -589,16 +595,22 @@ def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
     return base, resid2d, resid_rows
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9))
 def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
-                   use_pallas: bool, NB: int, C: int):
+                   use_pallas: bool, NB: int, C: int,
+                   static_cap: bool = False):
     """Inverse of encode_core_zz -> (NC, C*32) u16 zigzag rows in natural
-    order (the hybrid-v2 inverse kernel consumes them directly)."""
+    order (the hybrid-v2 inverse kernel consumes them directly).
+    static_cap: the residual buffer is in the fused-v3 fixed-slot
+    layout."""
     NC = NB // C
     NSB = NB // sb
     sbc = sb // C
     rank_c, cnt_c = _sort_plan(crl.reshape(NSB, sbc), E)
     rband, woff, sb_off, _ = _plan_offsets(cnt_c, C)
+    if static_cap:
+        CAP = E * (sb // LANES)
+        sb_off = (jnp.arange(NSB, dtype=jnp.int32) * CAP)
     if use_pallas:
         return _decode_pallas(base4d, resid2d, woff, rband, sb_off,
                               cnt_c, K, E, sb, C, jnp.uint16,
@@ -610,11 +622,15 @@ def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
 
 
 def serialize_prepared_parts(n: int, K: int, E: int, sb: int, C: int, crl,
-                             base, resid2d, resid_rows) -> list:
+                             base, resid2d, resid_rows,
+                             static_cap: bool = False) -> list:
     """encode_core_zz result as bytesink parts (exception-free blob).
     The residual payload is written by Fills: band compaction targets the
-    final blob region directly (single copy after the device fetch)."""
-    return _blob_parts(n, K, E, sb, C, crl, base, resid2d, resid_rows, 0)
+    final blob region directly (single copy after the device fetch).
+    static_cap=True: the device resid buffer is in the fused-v3 fixed-slot
+    layout (see _band_geometry); wire bytes are identical."""
+    return _blob_parts(n, K, E, sb, C, crl, base, resid2d, resid_rows, 0,
+                       static_cap=static_cap)
 
 
 def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
@@ -627,10 +643,12 @@ def serialize_prepared(n: int, K: int, E: int, sb: int, C: int, crl,
                                          resid2d, resid_rows))
 
 
-def deserialize_prepared(data: bytes, offset: int = 0):
+def deserialize_prepared(data: bytes, offset: int = 0,
+                         static_cap: bool = False):
     """Parse a BFP5 blob into device arrays for decode_core_zz. Returns
     (base3d, crl, resid2d, (n, K, E, sb, C), consumed). Requires an
-    exception-free blob (the hybrid-v2 writer's invariant)."""
+    exception-free blob (the hybrid-v2 writer's invariant). static_cap
+    expands the residual payload into the fused-v3 fixed-slot layout."""
     magic, n, resid_rows, K, E, sb, C, cnt = struct.unpack_from(_HDR, data, offset)
     if magic != _MAGIC:
         raise ValueError("bad BFP blob")
@@ -659,7 +677,7 @@ def deserialize_prepared(data: bytes, offset: int = 0):
         p += 4 * K * NB
     resid = np.frombuffer(data, "<u4", resid_rows, p)
     p += 4 * resid_rows
-    rbuf, _ = _expand_resid(resid, rl, E, C, sb)
+    rbuf, _ = _expand_resid(resid, rl, E, C, sb, static_cap=static_cap)
     return (jnp.asarray(base), jnp.asarray(rl), jnp.asarray(rbuf),
             (n, K, E, sb, C), p - offset)
 
@@ -701,17 +719,31 @@ def _as_le_u4(a: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(a).astype("<u4", copy=False)
 
 
-def _band_geometry(crl_h: np.ndarray, E: int, C: int, sb: int):
+def _band_geometry(crl_h: np.ndarray, E: int, C: int, sb: int,
+                   static_cap: bool = False):
     """Small-array band geometry shared by compaction and expansion:
     per-(superblock, plane) valid word count (cnt), band row count per
     channel (rband), global band start row, and total padded rows. Counts
     are permutation-invariant, so the sidecar alone determines them even
-    though the device rows are width-sorted."""
+    though the device rows are width-sorted.
+
+    static_cap=True describes the fused-v3 DEVICE layout: every superblock
+    owns a fixed CAP = E*(sb/LANES)-row slot (offset i*CAP) with its bands
+    packed at per-SB offsets — the layout the fused transform+pack kernel
+    writes with static BlockSpec indexing (no cross-superblock scan). The
+    WIRE bytes are identical either way (compaction strips the padding);
+    only the device intermediate differs."""
     sbc = sb // C
     NSB = (crl_h.shape[0] * C) // sb
     crl2 = crl_h.reshape(NSB, sbc)
     cnt = (crl2[:, None, :] > np.arange(E)[None, :, None]).sum(2)  # (NSB,E)
     rband = -(-cnt // LANES)
+    if static_cap:
+        CAP = E * (sb // LANES)
+        rows_p = rband * C  # (NSB, E)
+        woff = np.cumsum(rows_p, axis=1) - rows_p
+        band_start = np.arange(NSB)[:, None] * CAP + woff
+        return cnt, rband, band_start, NSB * CAP
     rows_p = (rband * C).reshape(-1)
     ends = np.cumsum(rows_p)
     band_start = (ends - rows_p).reshape(NSB, E)
@@ -765,7 +797,8 @@ def _compact_resid_into(out: np.ndarray, resid_flat: np.ndarray,
 
 
 def _blob_parts(n: int, K: int, E: int, sb: int, C: int, crl, base,
-                resid2d, resid_rows, exc_cnt: int) -> list:
+                resid2d, resid_rows, exc_cnt: int,
+                static_cap: bool = False) -> list:
     """Common BFP blob assembly shared by serialize_prepared_parts and
     serialize_device_parts: header (with exc_cnt), nibble-packed sidecar,
     base planes (the non-contiguous [:, :K] slice rides as-is — bytesink
@@ -785,10 +818,12 @@ def _blob_parts(n: int, K: int, E: int, sb: int, C: int, crl, base,
         rl_h = np.concatenate([rl_h, np.zeros(1, np.uint8)])
     nib = rl_h[0::2] | (rl_h[1::2] << 4)
     base_h = np.asarray(base)[:, :K] if K else np.zeros(0, "<u4")
+    fetch_rows = (resid2d.size // LANES) if static_cap else rows_i
     resid_flat = device_get_prefix(
-        resid2d.reshape(-1), rows_i * LANES
+        resid2d.reshape(-1), fetch_rows * LANES
     ).astype(np.uint32)
-    cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb)
+    cnt, rband, band_start, _ = _band_geometry(crl_h, E, C, sb,
+                                               static_cap=static_cap)
     words = int(cnt.sum()) * C
     head = struct.pack(_HDR, _MAGIC, n, words, K, E, sb, C, exc_cnt)
     parts = [head, nib.astype(np.uint8), base_h]
@@ -803,9 +838,10 @@ def _blob_parts(n: int, K: int, E: int, sb: int, C: int, crl, base,
 
 
 def _expand_resid(compact: np.ndarray, crl_h: np.ndarray, E: int, C: int,
-                  sb: int):
+                  sb: int, static_cap: bool = False):
     """Inverse of _compact_resid -> ((rows+CAP, LANES) uint32, padded_rows)."""
-    cnt, rband, band_start, rows = _band_geometry(crl_h, E, C, sb)
+    cnt, rband, band_start, rows = _band_geometry(crl_h, E, C, sb,
+                                                  static_cap=static_cap)
     total = int(cnt.sum()) * C
     if compact.shape[0] != total:
         raise ValueError(

@@ -811,3 +811,387 @@ def zclass_ungroup(sym):
     x = sym.reshape(sym.shape[:-1] + (8, g))
     perm = tuple(range(sym.ndim - 1)) + (sym.ndim, sym.ndim - 1)
     return jnp.transpose(x, perm).reshape(sym.shape)
+
+
+# ----------------------------------------------------------------------
+# v3: ONE fused kernel per direction — local transform + quantize +
+# zigzag + group + width + in-kernel sort plan + banded BFP pack (and the
+# exact mirror on decode). Each (8, 128, Z) tile IS one BFP superblock
+# (sb = 32*Z blocks, sbc = 1024 chunks of C = Z/32 blocks), so the u16
+# payload NEVER round-trips HBM between the transform and the codec and
+# the plan needs no cross-superblock scan: every residual slot is a
+# static CAP-row block (bfp._band_geometry static_cap layout). The wire
+# bytes match the v2 blob exactly except the chunk ORDER is tile-major
+# (recorded as hybrid front-end flag 2 in the stream).
+# Reference precedent for the fusion: LinearQuantization.hpp:21-146 fuses
+# level lookup + quantize + outlier capture into one kernel; this takes
+# the same idea through the entire lossless pack.
+# ----------------------------------------------------------------------
+def _v3_geom(Z, E):
+    C = Z // 32
+    sb = 32 * Z
+    sbc = 1024
+    PR = sb // 128
+    CAP = E * PR
+    BPR = sbc // 128
+    return C, sb, sbc, PR, CAP, BPR
+
+
+def _v3_plan_kernel(crl_row, E, U_ref):
+    """In-kernel replica of bfp._sort_plan for ONE superblock.
+    crl_row: (1, sbc) i32 in [0, E]. U_ref: (sbc, sbc) bf16 strictly-upper
+    ones (exclusive lane-prefix sums as one exact MXU pass: 0/1 values,
+    counts <= sbc are exact in the f32 accumulator). Returns
+    (rank (1, sbc) i32, cnts: list of E traced i32 scalars #(crl > j))."""
+    import jax
+    import jax.numpy as jnp
+
+    sbc = crl_row.shape[-1]
+    dn = (((1,), (0,)), ((), ()))
+    rank = jnp.zeros((1, sbc), jnp.int32)
+    cnt_gt = jnp.int32(0)
+    cnts_by_k = {}
+    for k in range(E, -1, -1):
+        eq_b = crl_row == k
+        # casts go THROUGH bool: a direct i32<->bf16 convert_element_type
+        # recurses in Mosaic's convert helper (same workaround as
+        # bfp._sort_mxu)
+        eq = eq_b.astype(jnp.int32)
+        prefix = jax.lax.dot_general(
+            eq_b.astype(jnp.bfloat16), U_ref[...], dn,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)
+        rank = rank + eq * (cnt_gt + prefix)
+        cnts_by_k[k] = cnt_gt  # BEFORE adding bucket k: #(crl > k)
+        # bucket total WITHOUT an integer sum-reduction (widens to i64 in
+        # the Mosaic proxy lowering) or a f32 one (hits a relayout bug):
+        # the inclusive prefix is nondecreasing, so its max IS the count —
+        # and i32 max full-reductions are the production-proven pattern
+        cnt_gt = cnt_gt + jnp.max(prefix + eq)
+    return rank, [cnts_by_k[j] for j in range(E)]
+
+
+def _fwd_kernel_v3_body(nl, Z, K, E):
+    from ..lossless import bfp as _bfp
+
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+
+    def kernel(q_ref, P_ref, S_ref, U_ref, v_ref, base_ref, resid_ref,
+               cw_ref, rem_ref, buf):
+        import jax
+        import jax.numpy as jnp
+
+        v = v_ref[...]
+        D = v.ndim
+        dec = local_decompose(v, nl)
+        rem_lead = extract_remainder(dec, nl, axes=range(D - 1))
+        lead_r = 1
+        for t in rem_lead.shape[:-1]:
+            lead_r *= t
+        rem_ref[...] = jax.lax.dot_general(
+            rem_lead.reshape(lead_r, Z), S_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(rem_ref.shape)
+        cf = jnp.where(
+            corner_mask(dec.shape, nl), jnp.zeros((), dec.dtype), dec
+        )
+        inv_q = q_ref[0, 0]
+        t = cf * inv_q
+        half = jnp.asarray(0.5, t.dtype)
+        sym = jnp.trunc(jnp.where(t < 0, t - half, t + half)).astype(jnp.int32)
+        zz = (sym << 1) ^ (sym >> 31)
+        over = (jnp.min(zz) < 0) | (jnp.max(zz) > jnp.int32(0xFFFF))
+        rows = _permute_u16_mxu(
+            zz.reshape(sbc, Z) & jnp.int32(0xFFFF), P_ref[...]
+        )  # (sbc, Z) i32, natural chunk order within the tile
+        mx = jnp.max(rows, axis=-1).reshape(1, sbc)
+        w = 32 - jax.lax.clz(mx)
+        cw = jnp.where(
+            over, jnp.int32(32),
+            jnp.where(mx == 0, jnp.int32(0), w),
+        ).astype(jnp.int32)
+        cw_ref[...] = cw.reshape(1, 1, sbc)
+        # jnp.int32 bounds: python-int clip operands materialize as i64
+        # constants under jax_enable_x64, which Mosaic cannot convert
+        crl = jnp.clip(cw - jnp.int32(K), jnp.int32(0), jnp.int32(E))
+        rank, cnts = _v3_plan_kernel(crl, E, U_ref)
+        srt = _bfp._sort_mxu(rows, rank)
+        zt = _bfp._plane_split(
+            jax.lax.bitcast_convert_type(srt, jnp.uint32), C
+        )
+        if K:
+            base_ref[...] = zt[:K].reshape(1, K, C, sbc)
+        buf[...] = jnp.zeros_like(buf)
+        off = jnp.int32(0)
+        for j in range(E):
+            rb = (cnts[j] + jnp.int32(127)) >> 7
+            for b in range(C):
+                ob = off + b * rb
+                cur = buf[pl.ds(ob, BPR)]
+                buf[pl.ds(ob, BPR)] = cur | zt[K + j, b].reshape(BPR, 128)
+            off = off + rb * C
+        resid_ref[...] = buf[pl.ds(0, CAP)]
+
+    return kernel
+
+
+def local_transform_pack_v3(v, inv_q, nl: int, K: int, E: int,
+                            interpret: bool = False):
+    """Fused v3 compress device phase: field -> (base (NSB,K,C,sbc) u32,
+    resid (NSB*CAP, 128) u32 [static-slot banded layout], cw (NSB, sbc)
+    i32 [true widths, tile-major chunk order], rem). None when the shape
+    does not admit the (8, 128, Z) tile/superblock scheme."""
+    shape = v.shape
+    if not v3_ok_shape(shape) or not _HAVE_PALLAS:
+        return None
+    Z = shape[-1]
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+    GX, GY = shape[0] // 8, shape[1] // 128
+    NSB = GX * GY
+    k = len(_rem_cols(nl))
+    ZR = Z // 8 * k
+    tile = (8, 128, Z)
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (ZR,)
+    rem_shape = tuple(s // 8 * k for s in shape[:-1]) + (ZR,)
+
+    import jax.numpy as jnp
+
+    P = _group_perm_matrix(Z)
+    S = _rem_select_matrix(Z, nl)
+    U = np.triu(np.ones((sbc, sbc), np.float32), 1)
+    grid = (GX, GY)
+    outs = pl.pallas_call(
+        _fwd_kernel_v3_body(nl, Z, K, E),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Z, Z), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Z, ZR), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sbc, sbc), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(tile, lambda gx, gy: (gx, gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, max(K, 1), C, sbc),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0, gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CAP, 128),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sbc),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda gx, gy: (gx, gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[pltpu.VMEM((CAP + 16, 128), jnp.uint32)],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((NSB, max(K, 1), C, sbc), jnp.uint32),
+            jax.ShapeDtypeStruct((NSB * CAP, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((NSB, 1, sbc), jnp.int32),
+            jax.ShapeDtypeStruct(rem_shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(inv_q.reshape(1, 1), jnp.asarray(P, jnp.bfloat16), jnp.asarray(S),
+      jnp.asarray(U, jnp.bfloat16), v)
+    return outs[0], outs[1], outs[2].reshape(NSB, sbc), outs[3]
+
+
+def v3_ok_shape(shape) -> bool:
+    """Shape gate for the fused v3 scheme: 3D, (8, 128, Z) tiles with
+    128 | Z <= 1024 so one tile is exactly one superblock of 1024 chunks
+    (C = Z/32 blocks each)."""
+    if len(shape) != 3:
+        return False
+    X, Y, Z = shape
+    return (X % 8 == 0 and Y % 128 == 0 and Z % 128 == 0 and Z <= 1024
+            and Z >= 128)
+
+
+def _inv_kernel_v3_body(nl, Z, K, E):
+    from ..lossless import bfp as _bfp
+
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+
+    def kernel(q_ref, Pt_ref, St_ref, U_ref, base_ref, crl_ref, resid_ref,
+               rem_ref, out_ref):
+        import jax
+        import jax.numpy as jnp
+
+        crl = crl_ref[...].reshape(1, sbc)
+        rank, cnts = _v3_plan_kernel(crl, E, U_ref)
+        rows = [base_ref[...].reshape(max(K, 1), C, sbc)[:K]] if K else []
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sbc), 2)
+        off = jnp.int32(0)
+        for j in range(E):
+            rb = (cnts[j] + jnp.int32(127)) >> 7
+            bands = []
+            for b in range(C):
+                bands.append(
+                    resid_ref[pl.ds(off + b * rb, BPR)].reshape(1, 1, sbc)
+                )
+            pj = jnp.concatenate(bands, axis=1)  # (1, C, sbc)
+            rows.append(jnp.where(col < cnts[j], pj, jnp.uint32(0)))
+            off = off + rb * C
+        hi = 32 - K - E
+        if hi > 0:
+            rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))
+        zt = jnp.concatenate(rows, axis=0)
+        merged = _bfp._plane_merge(zt, C)  # (sbc, Z) u32 zigzag, sorted
+        nat = _bfp._sort_mxu(
+            jax.lax.bitcast_convert_type(merged, jnp.int32), rank,
+            inverse=True,
+        )  # (sbc, Z) i32, natural tile order
+        zz = _permute_u16_mxu(nat & jnp.int32(0xFFFF), Pt_ref[...])
+        sym = (zz >> 1) ^ -(zz & jnp.int32(1))
+        q = q_ref[0, 0]
+        cf = sym.reshape(out_ref.shape).astype(q.dtype) * q
+        D = cf.ndim
+        rem_c = rem_ref[...]
+        lead_r = 1
+        for t in rem_c.shape[:-1]:
+            lead_r *= t
+        rem_lane = jax.lax.dot_general(
+            rem_c.reshape(lead_r, rem_c.shape[-1]), St_ref[...],
+            (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(rem_c.shape[:-1] + (Z,))
+        rem_full = insert_remainder(cf, rem_lane, nl, axes=range(D - 1))
+        out_ref[...] = local_recompose(rem_full, nl)
+
+    return kernel
+
+
+def unpack_inverse_v3(base, crl, resid, rem, q, nl: int, K: int, E: int,
+                      dtype, shape, interpret: bool = False):
+    """Fused v3 decompress device phase: static-slot banded payload ->
+    field. crl: (NSB, sbc) i32 tile-major residual lengths."""
+    if not v3_ok_shape(shape) or not _HAVE_PALLAS:
+        return None
+    Z = shape[-1]
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+    GX, GY = shape[0] // 8, shape[1] // 128
+    NSB = GX * GY
+    k = len(_rem_cols(nl))
+    ZR = Z // 8 * k
+    tile = (8, 128, Z)
+    rem_tile = tuple(t // 8 * k for t in tile[:-1]) + (ZR,)
+
+    import jax.numpy as jnp
+
+    Pt = _group_perm_matrix(Z).T.copy()
+    St = _rem_select_matrix(Z, nl).T.copy()
+    U = np.triu(np.ones((sbc, sbc), np.float32), 1)
+    return pl.pallas_call(
+        _inv_kernel_v3_body(nl, Z, K, E),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(GX, GY),
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((Z, Z), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((ZR, Z), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((sbc, sbc), lambda gx, gy: (gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, max(K, 1), C, sbc),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0, gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, sbc),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((CAP, 128),
+                             lambda gx, gy, GY=GY: (gx * GY + gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(rem_tile, lambda gx, gy: (gx, gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec(tile, lambda gx, gy: (gx, gy, gx * 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(shape, dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(q.reshape(1, 1), jnp.asarray(Pt, jnp.bfloat16), jnp.asarray(St),
+      jnp.asarray(U, jnp.bfloat16), base, crl.reshape(NSB, 1, sbc),
+      resid.reshape(NSB * CAP, 128), rem)[0]
+
+
+# ---- tile-major chunk-order helpers + plain-XLA v3 oracles ----
+def field_rows_tilemajor(pay3d):
+    """(X, Y, Z) payload -> (NC, Z) rows in tile-major chunk order (the
+    v3 stream order): tiles of (8, 128) leading positions, row-major
+    within the tile, tiles in (gx, gy) row-major order."""
+    X, Y, Z = pay3d.shape
+    GX, GY = X // 8, Y // 128
+    return (pay3d.reshape(GX, 8, GY, 128, Z).transpose(0, 2, 1, 3, 4)
+            .reshape(GX * GY * 1024, Z))
+
+
+def rows_tilemajor_field(rows, shape):
+    """Inverse of field_rows_tilemajor."""
+    X, Y, Z = shape
+    GX, GY = X // 8, Y // 128
+    return (rows.reshape(GX, GY, 8, 128, Z).transpose(0, 2, 1, 3, 4)
+            .reshape(X, Y, Z))
+
+
+def transform_pack_v3_xla(v, inv_q, nl: int, K: int, E: int):
+    """Plain-XLA oracle for local_transform_pack_v3 (same outputs, same
+    static-slot layout): v2 oracle + tile-major reorder +
+    encode_core_zz(static_cap=True)."""
+    from ..lossless import bfp as _bfp
+
+    Z = v.shape[-1]
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+    pay, cw_rm, rem = local_transform_v2_xla(v, inv_q, nl, C)
+    rows = field_rows_tilemajor(pay)
+
+    import jax.numpy as jnp
+
+    X, Y = v.shape[0], v.shape[1]
+    GX, GY = X // 8, Y // 128
+    # v2 cw is per (x, y) row (H = 1 in the v3 scheme) in row-major order;
+    # reorder to tile-major so the TRUE widths (incl. overflow poison)
+    # ride through
+    cw = (cw_rm.reshape(GX, 8, GY, 128).transpose(0, 2, 1, 3)
+          .reshape(GX * GY, sbc))
+    crl = jnp.clip(cw.reshape(-1), 0, 32)
+    crl = jnp.clip(crl - K, 0, E)
+    base, resid2d, _ = _bfp.encode_core_zz(rows, crl, K, E, sb, False, C,
+                                           static_cap=True)
+    NSB = (v.size // 32) // sb
+    return (base, resid2d[: NSB * CAP], cw, rem)
+
+
+def unpack_inverse_v3_xla(base, crl, resid, rem, q, nl: int, K: int,
+                          E: int, dtype, shape):
+    """Plain-XLA inverse of the v3 payload (non-TPU hosts decode v3
+    streams): decode_core_zz(static_cap=True) -> tile-major rows ->
+    row-major field -> v2 XLA inverse."""
+    from ..lossless import bfp as _bfp
+
+    Z = shape[-1]
+    C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
+    NB = int(np.prod(shape)) // 32
+    rows = _bfp.decode_core_zz(base, crl.reshape(-1), resid, K, E, sb,
+                               False, NB, C, static_cap=True)
+    pay = rows_tilemajor_field(rows, shape)
+    return local_inverse_v2_xla(pay, rem, q, nl, dtype)
