@@ -122,6 +122,13 @@ class Config:
     # lengths are stored as 4-bit nibbles in the sidecar).
     bfp_base_planes: int = 0
     bfp_resid_planes: int = 0
+    # Opt-in fused transform+pack path (hybrid front-end flag 2): ONE
+    # Pallas kernel per direction, each (8,128,Z) tile = one BFP
+    # superblock. Measured at parity with the two-stage v2 pipeline at
+    # 512^3 (55.1 vs 56.9 GB/s combined — v2 already hides the payload's
+    # HBM round trip behind the MXU permutation work), so v2 stays the
+    # default; the v3 stream format is fully supported either way.
+    hybrid_fused_pack: bool = False
     # BFP superblock size in 32-symbol blocks (None = platform default;
     # set by utils.autotuner.apply_autotune from the persistent table).
     bfp_sb_blocks: Optional[int] = None

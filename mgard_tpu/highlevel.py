@@ -345,7 +345,8 @@ def _hybrid_v3_ok(padded, dtype, config: Config) -> bool:
     from .ops.hybrid import v3_ok_shape
 
     if not (
-        jax.default_backend() == "tpu"
+        bool(getattr(config, "hybrid_fused_pack", False))
+        and jax.default_backend() == "tpu"
         and np.dtype(dtype) == np.float32
         and config.lossless == lossless_type.BFP
         and bool(config.hybrid_level_grouping)

@@ -571,7 +571,11 @@ def encode_core_zz(payload_rows, crl, K: int, E: int, sb: int,
     rband, woff, sb_off, resid_rows = _plan_offsets(cnt_c, C)
     if static_cap:
         CAP = E * PR
+        BPR = sbc // LANES
         sb_off = (jnp.arange(NSB, dtype=jnp.int32) * CAP)
+        rband = jnp.full_like(rband, BPR)
+        rows = rband * C
+        woff = jnp.cumsum(rows, axis=1, dtype=jnp.int32) - rows
     alloc_rows = (NSB + 1) * E * PR
     if use_pallas and payload_rows.dtype == jnp.uint16:
         # width sort happens in-kernel on the MXU (block-diagonal perm)
@@ -610,7 +614,11 @@ def decode_core_zz(base4d, crl, resid2d, K: int, E: int, sb: int,
     rband, woff, sb_off, _ = _plan_offsets(cnt_c, C)
     if static_cap:
         CAP = E * (sb // LANES)
+        BPR = sbc // LANES
         sb_off = (jnp.arange(NSB, dtype=jnp.int32) * CAP)
+        rband = jnp.full_like(rband, BPR)
+        rows = rband * C
+        woff = jnp.cumsum(rows, axis=1, dtype=jnp.int32) - rows
     if use_pallas:
         return _decode_pallas(base4d, resid2d, woff, rband, sb_off,
                               cnt_c, K, E, sb, C, jnp.uint16,
@@ -739,8 +747,15 @@ def _band_geometry(crl_h: np.ndarray, E: int, C: int, sb: int,
     cnt = (crl2[:, None, :] > np.arange(E)[None, :, None]).sum(2)  # (NSB,E)
     rband = -(-cnt // LANES)
     if static_cap:
+        # fused-v3 layout: band (j, b) owns the FULL BPR = sbc/LANES rows at
+        # the STATIC offset (j*C + b)*BPR inside the superblock's CAP slot —
+        # no in-SB compaction, no OR-spill, no dynamic offsets in the
+        # kernels. Rows past ceil(cnt/LANES) hold zero words (sorted-prefix
+        # invariant), which the wire compaction strips via cnt.
         CAP = E * (sb // LANES)
-        rows_p = rband * C  # (NSB, E)
+        BPR = sbc // LANES
+        rband = np.full_like(cnt, BPR)
+        rows_p = rband * C  # (NSB, E) == C*BPR everywhere
         woff = np.cumsum(rows_p, axis=1) - rows_p
         band_start = np.arange(NSB)[:, None] * CAP + woff
         return cnt, rband, band_start, NSB * CAP

@@ -838,11 +838,12 @@ def _v3_geom(Z, E):
 
 
 def _v3_plan_kernel(crl_row, E, U_ref):
-    """In-kernel replica of bfp._sort_plan for ONE superblock.
+    """In-kernel replica of bfp._sort_plan's RANK for ONE superblock.
     crl_row: (1, sbc) i32 in [0, E]. U_ref: (sbc, sbc) bf16 strictly-upper
     ones (exclusive lane-prefix sums as one exact MXU pass: 0/1 values,
-    counts <= sbc are exact in the f32 accumulator). Returns
-    (rank (1, sbc) i32, cnts: list of E traced i32 scalars #(crl > j))."""
+    counts <= sbc are exact in the f32 accumulator). Returns the stable
+    descending counting-sort rank (1, sbc) i32 — bit-identical to
+    bfp._sort_plan (pinned by tests/test_hybrid_v3.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -850,7 +851,6 @@ def _v3_plan_kernel(crl_row, E, U_ref):
     dn = (((1,), (0,)), ((), ()))
     rank = jnp.zeros((1, sbc), jnp.int32)
     cnt_gt = jnp.int32(0)
-    cnts_by_k = {}
     for k in range(E, -1, -1):
         eq_b = crl_row == k
         # casts go THROUGH bool: a direct i32<->bf16 convert_element_type
@@ -862,13 +862,12 @@ def _v3_plan_kernel(crl_row, E, U_ref):
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)
         rank = rank + eq * (cnt_gt + prefix)
-        cnts_by_k[k] = cnt_gt  # BEFORE adding bucket k: #(crl > k)
         # bucket total WITHOUT an integer sum-reduction (widens to i64 in
         # the Mosaic proxy lowering) or a f32 one (hits a relayout bug):
         # the inclusive prefix is nondecreasing, so its max IS the count —
         # and i32 max full-reductions are the production-proven pattern
         cnt_gt = cnt_gt + jnp.max(prefix + eq)
-    return rank, [cnts_by_k[j] for j in range(E)]
+    return rank
 
 
 def _fwd_kernel_v3_body(nl, Z, K, E):
@@ -877,7 +876,7 @@ def _fwd_kernel_v3_body(nl, Z, K, E):
     C, sb, sbc, PR, CAP, BPR = _v3_geom(Z, E)
 
     def kernel(q_ref, P_ref, S_ref, U_ref, v_ref, base_ref, resid_ref,
-               cw_ref, rem_ref, buf):
+               cw_ref, rem_ref):
         import jax
         import jax.numpy as jnp
 
@@ -915,23 +914,24 @@ def _fwd_kernel_v3_body(nl, Z, K, E):
         # jnp.int32 bounds: python-int clip operands materialize as i64
         # constants under jax_enable_x64, which Mosaic cannot convert
         crl = jnp.clip(cw - jnp.int32(K), jnp.int32(0), jnp.int32(E))
-        rank, cnts = _v3_plan_kernel(crl, E, U_ref)
+        rank = _v3_plan_kernel(crl, E, U_ref)
         srt = _bfp._sort_mxu(rows, rank)
         zt = _bfp._plane_split(
             jax.lax.bitcast_convert_type(srt, jnp.uint32), C
         )
         if K:
             base_ref[...] = zt[:K].reshape(1, K, C, sbc)
-        buf[...] = jnp.zeros_like(buf)
-        off = jnp.int32(0)
+        # STATIC band slots (j*C + b)*BPR: rows past each band's valid
+        # prefix hold zero words (the sorted-prefix invariant), so no
+        # in-SB compaction, no OR-spill and — crucially — no dynamic
+        # offsets: in-kernel-computed pl.ds starts chain every slice on
+        # the scalar unit and serialized the band loop (measured 3x on
+        # decode)
+        bands = []
         for j in range(E):
-            rb = (cnts[j] + jnp.int32(127)) >> 7
             for b in range(C):
-                ob = off + b * rb
-                cur = buf[pl.ds(ob, BPR)]
-                buf[pl.ds(ob, BPR)] = cur | zt[K + j, b].reshape(BPR, 128)
-            off = off + rb * C
-        resid_ref[...] = buf[pl.ds(0, CAP)]
+                bands.append(zt[K + j, b].reshape(BPR, 128))
+        resid_ref[...] = jnp.concatenate(bands, axis=0)
 
     return kernel
 
@@ -991,7 +991,6 @@ def local_transform_pack_v3(v, inv_q, nl: int, K: int, E: int,
                 pl.BlockSpec(rem_tile, lambda gx, gy: (gx, gy, gx * 0),
                              memory_space=pltpu.VMEM),
             ],
-            scratch_shapes=[pltpu.VMEM((CAP + 16, 128), jnp.uint32)],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((NSB, max(K, 1), C, sbc), jnp.uint32),
@@ -1030,20 +1029,17 @@ def _inv_kernel_v3_body(nl, Z, K, E):
         import jax.numpy as jnp
 
         crl = crl_ref[...].reshape(1, sbc)
-        rank, cnts = _v3_plan_kernel(crl, E, U_ref)
+        rank = _v3_plan_kernel(crl, E, U_ref)
         rows = [base_ref[...].reshape(max(K, 1), C, sbc)[:K]] if K else []
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sbc), 2)
-        off = jnp.int32(0)
+        # STATIC band slots — words past each band's valid prefix are zero
+        # by the sorted-prefix invariant (and by deserialize's zero fill),
+        # so neither masking nor dynamic offsets are needed
         for j in range(E):
-            rb = (cnts[j] + jnp.int32(127)) >> 7
             bands = []
             for b in range(C):
-                bands.append(
-                    resid_ref[pl.ds(off + b * rb, BPR)].reshape(1, 1, sbc)
-                )
-            pj = jnp.concatenate(bands, axis=1)  # (1, C, sbc)
-            rows.append(jnp.where(col < cnts[j], pj, jnp.uint32(0)))
-            off = off + rb * C
+                o = (j * C + b) * BPR
+                bands.append(resid_ref[o:o + BPR].reshape(1, 1, sbc))
+            rows.append(jnp.concatenate(bands, axis=1))  # (1, C, sbc)
         hi = 32 - K - E
         if hi > 0:
             rows.append(jnp.zeros((hi, C, sbc), jnp.uint32))

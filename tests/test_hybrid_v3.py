@@ -49,7 +49,7 @@ def test_v3_plan_matches_sort_plan():
     rng = np.random.default_rng(0)
     sbc = 1024
     crl = jnp.asarray(rng.integers(0, E + 1, (1, sbc)).astype(np.int32))
-    rank_ref, cnt_ref = bfp._sort_plan(crl, E)
+    rank_ref, _cnt_ref = bfp._sort_plan(crl, E)
 
     U = jnp.asarray(np.triu(np.ones((sbc, sbc), np.float32), 1), jnp.bfloat16)
 
@@ -57,11 +57,8 @@ def test_v3_plan_matches_sort_plan():
         def __getitem__(self, _):
             return U
 
-    rank, cnts = Hy._v3_plan_kernel(crl, E, _URef())
+    rank = Hy._v3_plan_kernel(crl, E, _URef())
     np.testing.assert_array_equal(np.asarray(rank), np.asarray(rank_ref))
-    np.testing.assert_array_equal(
-        np.asarray(jnp.stack(cnts)), np.asarray(cnt_ref).ravel()
-    )
 
 
 def test_v3_kernels_match_oracle_and_roundtrip():

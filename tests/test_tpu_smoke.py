@@ -145,3 +145,17 @@ def test_hybrid_v2_kernel_matches_oracle_on_device():
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_o), rtol=0, atol=1e-6
     )
+
+
+def test_hybrid_v3_fused_pack_on_device():
+    """Opt-in fused transform+pack (flag-2 stream) through the public API
+    on the real chip, plus the written stream's v3 geometry."""
+    v = _field((128, 128, 256), np.float32)
+    cfg = Config()
+    cfg.hybrid_fused_pack = True
+    cfg.bfp_base_planes = 4
+    blob, st = mgard_tpu.compress(v, tol=1e-4, s=math.inf, config=cfg)
+    assert st == compress_status_type.Success
+    out, st2 = mgard_tpu.decompress(blob)
+    assert st2 == compress_status_type.Success
+    assert float(np.max(np.abs(out - v))) <= 1e-4
