@@ -184,10 +184,15 @@ class Metadata:
         p += 3
         fv = struct.unpack_from("<3B", body, p)
         p += 3
-        if fv[0] != FILE_VERSION[0]:
+        if fv[0] != FILE_VERSION[0] or fv[1] > FILE_VERSION[1]:
+            # minor versions are forward-incompatible additions (e.g. 2.1's
+            # hybrid front-end flag 2): a stream whose minor exceeds this
+            # build's would misparse, so reject it cleanly — older streams
+            # (lower minor) always parse
             raise FormatError(
                 f"unsupported mgard-tpu file version {fv[0]}.{fv[1]}.{fv[2]} "
-                f"(this build reads {FILE_VERSION[0]}.x.x); re-compress with "
+                f"(this build reads {FILE_VERSION[0]}.0.x through "
+                f"{FILE_VERSION[0]}.{FILE_VERSION[1]}.x); re-compress with "
                 "a matching version"
             )
         (_endian,) = struct.unpack_from("<B", body, p)

@@ -329,9 +329,16 @@ def _v3_params(config: Config, padded):
     K_cfg = int(getattr(config, "bfp_base_planes", 0) or 0)
     if K_cfg:
         return K_cfg, E, C
-    ent = _bfp._K_CACHE.get(("v2", n_cf, E, C, 0))
-    if ent:
-        return int(ent[0]), E, C
+    # the v2 serializer keys the sticky cache by ITS chunk size
+    # (_pick_v2_chunk, <= 16), not v3's C = Z/32 — also look it up under
+    # that key so priming works for every Z (e.g. 768: C2=8 vs C=24). A K
+    # tuned for a different chunk size is only a ratio approximation;
+    # correctness is guarded by the serializer's cw_max > K+E fallback.
+    C2 = _pick_v2_chunk(padded, config)
+    for key in (("v2", n_cf, E, C, 0), ("v2", n_cf, E, C2, 0)):
+        ent = _bfp._K_CACHE.get(key)
+        if ent:
+            return int(ent[0]), E, C
     return None, E, C
 
 
@@ -1158,75 +1165,49 @@ def decompress(
                         f"subdomain {i}: unknown hybrid front-end flag "
                         f"{flag} (this build reads 0..2)"
                     )
-            if hybrid_v3:
+            if hybrid_v2 or hybrid_v3:
                 from .lossless import bfp as _bfp
                 from .ops.hybrid import (
                     hybrid_l_total,
                     pad_to8,
                     remainder_shape,
+                    v3_ok_shape,
                 )
 
+                vtag = "v3" if hybrid_v3 else "v2"
                 _nl = max(1, min(3, int(meta.nlocal) or 1))
                 _padded = pad_to8(hier.shape)
                 (cf_len,) = struct.unpack_from("<Q", blob, pos)
                 pos += 8
                 base3d, crl, rbuf, (n_cf, K, E, sb, C), _used = (
-                    _bfp.deserialize_prepared(blob, pos, static_cap=True)
-                )
-                pos += cf_len
-                if n_cf != int(np.prod(_padded)) or sb != 32 * _padded[-1]:
-                    raise FormatError(
-                        f"subdomain {i}: hybrid-v3 cf stream geometry "
-                        f"(n={n_cf}, sb={sb}) does not match the domain "
-                        f"{_padded}"
-                    )
-                rem_sym, _used2 = lossless_decompress(blob, pos)
-                _rem_shape = remainder_shape(_padded, _nl)
-                if int(rem_sym.shape[0]) != int(np.prod(_rem_shape)):
-                    raise FormatError(
-                        f"subdomain {i}: hybrid-v3 rem stream has "
-                        f"{int(rem_sym.shape[0])} symbols, expected "
-                        f"{int(np.prod(_rem_shape))}"
-                    )
-                rem_hier = get_hierarchy(_rem_shape, dtype, None, cfg)
-                qh = _hybrid_quantizer(
-                    local_tol, hybrid_l_total(_padded, _nl, rem_hier)
-                )
-                NSB = (n_cf // 32) // sb
-                sbc = 1024
-                CAP = E * (sb // _bfp.LANES)
-                rec = _decompress_core_hybrid_v3(
-                    base3d, crl.reshape(NSB, sbc), rbuf[: NSB * CAP],
-                    rem_sym, jnp.asarray(qh, dtype), hier.shape, _padded,
-                    _nl, rem_hier, K, E,
-                )
-                return rec, sls
-            if hybrid_v2:
-                from .lossless import bfp as _bfp
-                from .ops.hybrid import (
-                    hybrid_l_total,
-                    pad_to8,
-                    remainder_shape,
-                )
-
-                _nl = max(1, min(3, int(meta.nlocal) or 1))
-                _padded = pad_to8(hier.shape)
-                (cf_len,) = struct.unpack_from("<Q", blob, pos)
-                pos += 8
-                base3d, crl, rbuf, (n_cf, K, E, sb, C), _used = (
-                    _bfp.deserialize_prepared(blob, pos)
+                    _bfp.deserialize_prepared(blob, pos,
+                                              static_cap=hybrid_v3)
                 )
                 pos += cf_len
                 if n_cf != int(np.prod(_padded)):
                     raise FormatError(
-                        f"subdomain {i}: hybrid-v2 cf stream has {n_cf} "
-                        f"symbols, expected {int(np.prod(_padded))}"
+                        f"subdomain {i}: hybrid-{vtag} cf stream has "
+                        f"{n_cf} symbols, expected {int(np.prod(_padded))}"
+                    )
+                if hybrid_v3 and not (
+                    v3_ok_shape(_padded)
+                    and sb == 32 * _padded[-1]
+                    and C == _padded[-1] // 32
+                    and 1 <= E <= 15
+                    and 0 <= K and K + E <= 16
+                ):
+                    # flag-2 streams are only defined on the tile=SB
+                    # scheme; anything else is corruption, not a format
+                    raise FormatError(
+                        f"subdomain {i}: hybrid-v3 cf stream geometry "
+                        f"(sb={sb}, C={C}, K={K}, E={E}) does not match "
+                        f"the v3 scheme for domain {_padded}"
                     )
                 rem_sym, _used2 = lossless_decompress(blob, pos)
                 _rem_shape = remainder_shape(_padded, _nl)
                 if int(rem_sym.shape[0]) != int(np.prod(_rem_shape)):
                     raise FormatError(
-                        f"subdomain {i}: hybrid-v2 rem stream has "
+                        f"subdomain {i}: hybrid-{vtag} rem stream has "
                         f"{int(rem_sym.shape[0])} symbols, expected "
                         f"{int(np.prod(_rem_shape))}"
                     )
@@ -1234,14 +1215,24 @@ def decompress(
                 qh = _hybrid_quantizer(
                     local_tol, hybrid_l_total(_padded, _nl, rem_hier)
                 )
-                zz_rows = _bfp.decode_core_zz(
-                    base3d, crl, rbuf, K, E, sb, _bfp._use_pallas(),
-                    n_cf // 32, C,
-                )
-                rec = _decompress_core_hybrid_v2(
-                    zz_rows, rem_sym, jnp.asarray(qh, dtype), hier.shape,
-                    _padded, _nl, rem_hier, C,
-                )
+                if hybrid_v3:
+                    NSB = (n_cf // 32) // sb
+                    sbc = sb // C
+                    CAP = E * (sb // _bfp.LANES)
+                    rec = _decompress_core_hybrid_v3(
+                        base3d, crl.reshape(NSB, sbc), rbuf[: NSB * CAP],
+                        rem_sym, jnp.asarray(qh, dtype), hier.shape,
+                        _padded, _nl, rem_hier, K, E,
+                    )
+                else:
+                    zz_rows = _bfp.decode_core_zz(
+                        base3d, crl, rbuf, K, E, sb, _bfp._use_pallas(),
+                        n_cf // 32, C,
+                    )
+                    rec = _decompress_core_hybrid_v2(
+                        zz_rows, rem_sym, jnp.asarray(qh, dtype),
+                        hier.shape, _padded, _nl, rem_hier, C,
+                    )
                 return rec, sls
             qflat, used = lossless_decompress(blob, pos)
             expected = hier.total_num_elems

@@ -94,9 +94,7 @@ def main(n=512):
         print(f"class {c}: n={tot[c]}  {nz}  K*={Kc} cost/blk={cost/max(tot[c],1):.2f}")
 
     # scheme A (current): global K + per-chunk rl
-    K = bfp.choose_K(
-        np.bincount(np.clip(np.asarray(cwh @ 0 + 0), 0, 32), minlength=33)
-        if False else cwh, E, C)
+    K = bfp.choose_K(cwh, E, C)
     residA = sum(min(max(w - K, 0), E) * cwh[w] for w in range(33)) * C
     costA = K * NB + residA
     nib = NC / 8  # words of nibble sidecar (NC/2 bytes)

@@ -22,18 +22,6 @@ import sys
 import numpy as np
 
 
-def chunk_cost(w, K, E, group):
-    """w: (NB,) widths regrouped so consecutive `group` blocks form one
-    rl unit with shared base K. Returns words."""
-    NBg = w.size // group
-    wm = w.reshape(NBg, group).max(1)
-    rl = np.clip(wm - K, 0, E)
-    exc = wm > K + E
-    # exceptions ship the full 32-word block for every block in the unit
-    # (conservative; current codec prices per-chunk exceptions similarly)
-    return (K + rl) * group @ np.ones(1) + 0, ((K + rl[~exc] * 0).sum()) if False else None
-
-
 def price(w, K, E, group):
     NBg = w.size // group
     wm = w.reshape(NBg, group).max(1)

@@ -174,3 +174,49 @@ def test_v3_shape_gate():
     assert not Hy.v3_ok_shape((8, 64, 512))      # Y % 128
     assert not Hy.v3_ok_shape((8, 128, 96))      # Z < 128
     assert not Hy.v3_ok_shape((8, 128, 1152))    # Z > 1024
+
+
+def test_v3_flag_rejects_bad_geometry(monkeypatch):
+    """A flag-2 stream whose BFP5 header does not match the v3 tile=SB
+    scheme must raise FormatError (clean rejection), not crash in a
+    reshape."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU-only scenario")
+    monkeypatch.setattr(H, "_hybrid_v3_ok", lambda *a, **k: True)
+    monkeypatch.setattr(Hy, "local_transform_pack_v3",
+                        lambda v, iq, nl, K, E:
+                        Hy.transform_pack_v3_xla(v, iq, nl, K, E))
+    v = np.asarray(_field((16, 128, 256), seed=11))
+    cfg = mgard_tpu.Config()
+    cfg.bfp_base_planes = 4
+    blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
+                                  mode=mgard_tpu.error_bound_type.ABS,
+                                  config=cfg)
+    assert int(st) == 0
+    # corrupt the BFP5 header's sb field (offset: magic4 + n8 + rows8 +
+    # K1 + E1 -> sb u32); the v3 branch must reject sb != 32*Z
+    i = blob.index(b"BFP5")
+    bad = bytearray(blob)
+    import struct as S
+
+    S.pack_into("<I", bad, i + 22, 8192)
+    out, st2 = mgard_tpu.decompress(bytes(bad))
+    assert out is None and int(st2) != 0
+
+
+def test_minor_version_forward_rejection(monkeypatch):
+    """Streams with a HIGHER minor file version than this build must be
+    rejected cleanly (they may carry front-end flags this build cannot
+    parse). Written with a VALID CRC so the version gate itself is what
+    rejects."""
+    from mgard_tpu.formats import metadata as M
+
+    v = np.linspace(0, 1, 4096, dtype=np.float32).reshape(16, 16, 16)
+    future = (M.FILE_VERSION[0], M.FILE_VERSION[1] + 1, 0)
+    monkeypatch.setattr(M, "FILE_VERSION", future)
+    blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
+                                  mode=mgard_tpu.error_bound_type.ABS)
+    assert int(st) == 0
+    monkeypatch.undo()
+    out, st2 = mgard_tpu.decompress(blob)
+    assert out is None and int(st2) != 0
