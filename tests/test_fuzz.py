@@ -195,3 +195,61 @@ def test_mdrx_archive_flip_sweep(comp, tmp_path):
         except FormatError:
             pass
         target.write_bytes(orig)
+
+
+def _v3_blob():
+    """A flag-2 (fused v3) stream written on CPU via the XLA oracle."""
+    import mgard_tpu.highlevel as H
+    from mgard_tpu.ops import hybrid as Hy
+
+    rng = np.random.default_rng(11)
+    shape = (16, 128, 256)
+    x = np.linspace(0, 1, shape[0], dtype=np.float32)
+    v = (
+        np.sin(2 * np.pi * x)[:, None, None]
+        + np.cos(np.linspace(0, 3, shape[1], dtype=np.float32))[None, :, None]
+        * np.linspace(-1, 1, shape[2], dtype=np.float32)[None, None, :]
+        + 0.01 * rng.standard_normal(shape).astype(np.float32)
+    )
+    orig_ok, orig_pack = H._hybrid_v3_ok, Hy.local_transform_pack_v3
+    H._hybrid_v3_ok = lambda *a, **k: True
+    Hy.local_transform_pack_v3 = (
+        lambda vv, iq, nl, K, E: Hy.transform_pack_v3_xla(vv, iq, nl, K, E)
+    )
+    try:
+        cfg = mgard_tpu.Config()
+        cfg.bfp_base_planes = 4
+        blob, st = mgard_tpu.compress(v, tol=1e-3, config=cfg)
+    finally:
+        H._hybrid_v3_ok, Hy.local_transform_pack_v3 = orig_ok, orig_pack
+    assert int(st) == 0
+    return bytes(blob), v
+
+
+@pytest.fixture(scope="module")
+def v3_blob_and_field():
+    return _v3_blob()
+
+
+def test_v3_truncation_sweep(v3_blob_and_field):
+    """Every truncation of a flag-2 stream fails cleanly via status."""
+    blob, v = v3_blob_and_field
+    cuts = sorted({1, 8, 40, 64, len(blob) // 3, len(blob) // 2,
+                   len(blob) - 129, len(blob) - 1})
+    for cut in cuts:
+        out, st = mgard_tpu.decompress(blob[:cut])
+        assert out is None and int(st) != 0, cut
+
+
+def test_v3_byte_flip_sweep(v3_blob_and_field):
+    """Byte flips across a flag-2 stream never raise; Success implies the
+    original shape/dtype (wrong data under payload corruption allowed)."""
+    blob, v = v3_blob_and_field
+    n = len(blob)
+    for off in list(range(0, 200, 13)) + [n // 2, n - 40, n - 1]:
+        bad = bytearray(blob)
+        bad[off] ^= 0x5A
+        out, st = mgard_tpu.decompress(bytes(bad))
+        if int(st) == 0:
+            assert out is not None and out.shape == v.shape
+            assert out.dtype == v.dtype

@@ -220,3 +220,24 @@ def test_minor_version_forward_rejection(monkeypatch):
     monkeypatch.undo()
     out, st2 = mgard_tpu.decompress(blob)
     assert out is None and int(st2) != 0
+
+
+def test_v3_params_falls_back_to_v2_chunk_key():
+    """For Z where v3's C = Z/32 differs from the v2 serializer's chunk
+    pick, the sticky-cache lookup must also try the v2 key (768: C=24 vs
+    C2=8) so v2 priming engages the fused path."""
+    padded = (768, 768, 768)
+    cfg = mgard_tpu.Config()
+    cfg.bfp_base_planes = 0
+    C = 768 // 32                      # 24 — v3's chunk size
+    C2 = H._pick_v2_chunk(padded, cfg)  # 8 — what v2 caches under
+    assert C2 != C
+    n_cf = int(np.prod(padded))
+    for key in [("v2", n_cf, E, C, 0), ("v2", n_cf, E, C2, 0)]:
+        bfp._K_CACHE.pop(key, None)
+    K, _, _ = H._v3_params(cfg, padded)
+    assert K is None
+    bfp._K_CACHE[("v2", n_cf, E, C2, 0)] = (6, None)
+    K2, _, _ = H._v3_params(cfg, padded)
+    assert K2 == 6
+    bfp._K_CACHE.pop(("v2", n_cf, E, C2, 0), None)
