@@ -57,7 +57,8 @@ __all__ = [
 
 def __getattr__(name):
     # Lazy high-level API import to keep `import mgard_tpu` light.
-    if name in ("compress", "decompress"):
+    if name in ("compress", "decompress", "compress_roi",
+                "calculate_norm"):
         from . import highlevel
 
         return getattr(highlevel, name)

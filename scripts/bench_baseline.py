@@ -1,0 +1,184 @@
+"""Throughput/bound lines for the remaining BASELINE.md benchmark
+configs (the 512^3 flagship lives in bench.py, 5D in bench_5d.py, MDR in
+prof_mdr.py):
+
+  1. 1D 2^20 f64 sinusoid, s=0, eb=1e-3 (ABS, L2 bound) — device
+     pipeline GB/s with the in-program timing loop.
+  2. 3D non-uniform (stretched grids on every axis) 256^3 f32, s=inf,
+     eb=1e-3 — device pipeline GB/s.
+  3. 3D + ROI: compress_roi at 128^3 with a centered box ROI — verifies
+     the tightened in-ROI bound and reports the size cost vs plain
+     compression (functional line; the public API is host-coupled on
+     this rig, so no GB/s is claimed).
+
+Run on the real TPU: python scripts/bench_baseline.py
+"""
+
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def _timed_loop(fn, args, floor, reps=4, k_inner=8):
+    import jax
+
+    float(fn(*args))
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return max((best - floor) / k_inner, 1e-6)
+
+
+def _loop(core, probe_args, k_inner=8):
+    """Wrap core(*args, quant) in a fori_loop with the carry threaded
+    through quant (see bench.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(*args):
+        def body(i, s):
+            q2 = jnp.where(s >= jnp.float32(-1e30), args[-1], args[-1] * 2)
+            out = core(*args[:-1], q2)
+            acc = jnp.float32(0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                fl = leaf.ravel()
+                st = max(1, fl.size // 64)
+                acc = acc + fl[::st].astype(jnp.float32).max()
+            return acc
+        return jax.lax.fori_loop(0, k_inner, body, jnp.float32(0))
+
+    return jax.jit(run)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import mgard_tpu
+    import mgard_tpu.highlevel as H
+    from mgard_tpu.dtypes import decomposition_type, error_bound_type
+    from mgard_tpu.hierarchy import get_hierarchy
+    from mgard_tpu.lossless import bfp
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = mgard_tpu.Config()
+
+    noopv = jnp.zeros((8, 8, 8), jnp.float32)
+    noop = jax.jit(lambda x: x[0, 0, 0] * 1.0)
+    float(noop(noopv))
+    floor = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(noop(noopv))
+        floor = min(floor, time.perf_counter() - t0)
+    print(f"# floor {floor*1e3:.1f} ms backend={jax.default_backend()}",
+          file=sys.stderr)
+
+    def device_line(tag, v, hier, s, tol):
+        s_inf = math.isinf(s)
+        orthogonal = H.infer_orthogonal_projection(s)
+        q = hier.quantizers(tol, s, 0.0, error_bound_type.ABS,
+                            decomposition_type.MultiDim, orthogonal)
+        quant = jnp.asarray(q)
+        vj = jnp.asarray(v)
+        N = int(np.prod(v.shape))
+        sb = bfp.SB_BLOCKS if (on_tpu and N >= bfp.SB_BLOCKS * 32) \
+            else bfp.SB_BLOCKS_SMALL
+        use_pl = on_tpu and sb >= bfp.SB_PALLAS_MIN
+        npad = bfp._pad_to(N, sb)
+        NB = npad // 32
+        E = bfp.E_DEFAULT
+        sym0 = H._compress_core_sym(vj, quant, hier, orthogonal,
+                                    s_inf).ravel()
+        sym0 = jnp.concatenate([sym0, jnp.zeros(npad - N, jnp.int32)])
+        K = bfp.choose_K(np.asarray(bfp._width_hist(sym0)), E)
+        exc0 = int(np.asarray(bfp._width_hist(sym0))[K + E + 1:].sum())
+        cap = bfp._exc_bucket(exc0, NB // bfp.CHUNK)
+
+        def comp(vj, quant):
+            sym = H._compress_core_sym(vj, quant, hier, orthogonal,
+                                       s_inf).ravel()
+            sym = jnp.concatenate([sym, jnp.zeros(npad - N, jnp.int32)])
+            return bfp.encode_core(sym, K, E, sb, cap, use_pl)
+
+        out = jax.jit(comp)(vj, quant)
+
+        def decomp(base, crl, resid2d, exc_ids, exc_blocks, quant):
+            sym = bfp.decode_core(base, crl, resid2d, exc_ids, exc_blocks,
+                                  K, E, sb, use_pl, NB)[:N]
+            return H._decompress_core_sym(sym.reshape(v.shape), quant,
+                                          hier, orthogonal, s_inf)
+
+        rec = jax.jit(decomp)(out[0], out[1], out[2], out[4], out[5], quant)
+        t_c = _timed_loop(_loop(comp, None), (vj, quant), floor)
+        t_d = _timed_loop(
+            _loop(lambda b, c, r, ei, eb, q: decomp(b, c, r, ei, eb, q),
+                  None),
+            (out[0], out[1], out[2], out[4], out[5], quant), floor)
+        nbytes = v.nbytes
+        resid_w = bfp.CHUNK * int(np.asarray(out[1], np.int64).sum())
+        wpb = (resid_w + K * NB + NB / 8) / NB
+        ratio = v.dtype.itemsize * 8 / wpb
+        err_inf = float(jnp.max(jnp.abs(jnp.asarray(rec) - vj)))
+        if s_inf:
+            ok = err_inf <= tol
+            errtxt = f"Linf {err_inf:.2e}"
+        else:
+            e = np.asarray(rec, np.float64) - np.asarray(v, np.float64)
+            from mgard_tpu.ops.norms import norm_hier
+            l2 = float(norm_hier(e, hier, 0.0))
+            ok = l2 <= tol
+            errtxt = f"s0-norm {l2:.2e}"
+        print(f"{tag}: compress {nbytes/t_c/1e9:.2f} GB/s, decompress "
+              f"{nbytes/t_d/1e9:.2f} GB/s, ratio~{ratio:.2f}, {errtxt} "
+              f"bound_ok={ok}")
+
+    # ---- 1. 1D 2^20 f64 sinusoid, s=0 ----
+    n1 = 1 << 20
+    x = np.linspace(0, 1, n1)
+    v1 = (np.sin(8 * np.pi * x) + 0.4 * np.sin(37 * np.pi * x)).astype(
+        np.float64)
+    hier1 = get_hierarchy((n1,), np.float64, None, cfg)
+    device_line("1D 2^20 f64 s=0 eb=1e-3", v1, hier1, 0.0, 1e-3)
+
+    # ---- 2. 3D non-uniform 256^3 f32, s=inf ----
+    n3 = 256
+    coords = [np.cumsum(1.0 + 0.8 * np.sin(np.linspace(0, 9 + d, n3)))
+              for d in range(3)]
+    coords = [c / c[-1] for c in coords]
+    X = coords[0][:, None, None]
+    Y = coords[1][None, :, None]
+    Z = coords[2][None, None, :]
+    v3 = (np.sin(6 * X) * np.cos(5 * Y) + np.exp(-3 * Z)).astype(np.float32)
+    hier3 = get_hierarchy((n3,) * 3, np.float32, coords, cfg)
+    device_line("3D 256^3 f32 non-uniform s=inf eb=1e-3", v3, hier3,
+                math.inf, 1e-3)
+
+    # ---- 3. ROI line (functional; host-coupled API) ----
+    nr = 128
+    xr = np.linspace(0, 1, nr, dtype=np.float32)
+    vr = (np.sin(4 * np.pi * xr)[:, None, None]
+          * np.cos(3 * np.pi * xr)[None, :, None]
+          + xr[None, None, :] ** 2).astype(np.float32)
+    mask = np.zeros(vr.shape, bool)
+    mask[32:96, 32:96, 32:96] = True
+    tol, factor = 1e-2, 16.0
+    blob_roi, st = mgard_tpu.compress_roi(vr, tol, mask, roi_factor=factor)
+    blob_pl, st2 = mgard_tpu.compress(vr, tol / factor, s=math.inf,
+                                      mode=error_bound_type.ABS)
+    out_roi, st3 = mgard_tpu.decompress(blob_roi)
+    err_in = float(np.max(np.abs((out_roi - vr)[mask])))
+    err_out = float(np.max(np.abs((out_roi - vr)[~mask])))
+    print(f"3D 128^3 ROI (tol {tol}, factor {factor}): in-ROI Linf "
+          f"{err_in:.2e} (<= {tol/factor:.0e}: {err_in <= tol/factor}), "
+          f"out Linf {err_out:.2e} (<= {tol:.0e}: {err_out <= tol}), "
+          f"roi-blob {len(blob_roi)} B vs uniform-fine {len(blob_pl)} B "
+          f"({len(blob_pl)/len(blob_roi):.2f}x larger)")
+
+
+if __name__ == "__main__":
+    main()
