@@ -112,8 +112,14 @@ def main():
     @jax.jit
     def comp_k(vj, quant):
         def body(i, s):
-            q2 = jnp.where(s >= jnp.float32(-1e30), quant, quant * 2)
-            sym = H._compress_core_sym(vj, q2, hier, False, True).ravel()
+            # thread the carry through the INPUT FIELD (runtime-1.0
+            # multiply): threading via quant lets XLA hoist the
+            # loop-invariant DECOMPOSE out of the loop (quantize runs
+            # after the transform), which inflated this line ~3x
+            f = jnp.where(s >= jnp.float32(-1e30), jnp.float32(1),
+                          jnp.float32(2))
+            sym = H._compress_core_sym(vj * f, quant, hier, False,
+                                       True).ravel()
             if npad != N:
                 sym = jnp.concatenate([sym, jnp.zeros(npad - N, jnp.int32)])
             return _probe(bfp.encode_core(sym, K, E, sb, exc_cap, on_tpu))
@@ -125,7 +131,9 @@ def main():
             m = jnp.where(s >= jnp.float32(-1e30), jnp.uint32(0),
                           jnp.uint32(1))
             b2 = base ^ m.astype(base.dtype)
-            sym = bfp.decode_core(b2, crl, resid2d, exc_ids, exc_blocks,
+            c2 = crl ^ m.astype(crl.dtype)
+            r2 = resid2d ^ m.astype(resid2d.dtype)
+            sym = bfp.decode_core(b2, c2, r2, exc_ids, exc_blocks,
                                   K, E, sb, on_tpu, NB)[:N]
             return _probe(H._decompress_core_sym(
                 sym.reshape(shape), quant, hier, False, True))

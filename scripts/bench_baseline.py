@@ -33,16 +33,31 @@ def _timed_loop(fn, args, floor, reps=4, k_inner=8):
     return max((best - floor) / k_inner, 1e-6)
 
 
-def _loop(core, probe_args, k_inner=8):
-    """Wrap core(*args, quant) in a fori_loop with the carry threaded
-    through quant (see bench.py)."""
+def _loop(core, k_inner=8):
+    """Wrap core(*args) in a fori_loop, threading the carry through
+    EVERY array argument (float: runtime-1.0 multiply; integer:
+    runtime-0 xor). Threading only a late-stage operand (e.g. the
+    quantizer) lets XLA hoist the loop-invariant early stages out of
+    the loop — the transform runs before quantize, so a quant-threaded
+    compress loop times only quantize+encode."""
     import jax
     import jax.numpy as jnp
 
     def run(*args):
         def body(i, s):
-            q2 = jnp.where(s >= jnp.float32(-1e30), args[-1], args[-1] * 2)
-            out = core(*args[:-1], q2)
+            f = jnp.where(s >= jnp.float32(-1e30), jnp.float32(1),
+                          jnp.float32(2))
+            m = jnp.where(s >= jnp.float32(-1e30), jnp.uint32(0),
+                          jnp.uint32(1))
+            th = []
+            for a in args:
+                if jnp.issubdtype(a.dtype, jnp.floating):
+                    th.append(a * f.astype(a.dtype))
+                elif a.ndim:
+                    th.append(a ^ m.astype(a.dtype))
+                else:
+                    th.append(a)
+            out = core(*th)
             acc = jnp.float32(0)
             for leaf in jax.tree_util.tree_leaves(out):
                 fl = leaf.ravel()
@@ -114,10 +129,9 @@ def main():
                                           hier, orthogonal, s_inf)
 
         rec = jax.jit(decomp)(out[0], out[1], out[2], out[4], out[5], quant)
-        t_c = _timed_loop(_loop(comp, None), (vj, quant), floor)
+        t_c = _timed_loop(_loop(comp), (vj, quant), floor)
         t_d = _timed_loop(
-            _loop(lambda b, c, r, ei, eb, q: decomp(b, c, r, ei, eb, q),
-                  None),
+            _loop(decomp),
             (out[0], out[1], out[2], out[4], out[5], quant), floor)
         nbytes = v.nbytes
         resid_w = bfp.CHUNK * int(np.asarray(out[1], np.int64).sum())
