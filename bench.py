@@ -221,9 +221,13 @@ def run(n: int = 512, tol: float = 1e-3, reps: int = 8, chunk: int = 0,
                           jnp.uint32(1))
             b2 = base ^ m.astype(base.dtype)
             rb2 = rbase ^ m.astype(rbase.dtype)
-            zz_rows = bfp.decode_core_zz(b2, crl, resid2d, K, E, sb, on_tpu,
+            # crl threads too so the XLA-side sort-plan pre-pass cannot
+            # hoist out of the loop (it is part of production decompress)
+            c2 = crl ^ m.astype(crl.dtype)
+            rc2 = rcrl ^ m.astype(rcrl.dtype)
+            zz_rows = bfp.decode_core_zz(b2, c2, resid2d, K, E, sb, on_tpu,
                                          NB, C)
-            rem_sym = bfp.decode_core(rb2, rcrl, rresid2d, rexc_ids,
+            rem_sym = bfp.decode_core(rb2, rc2, rresid2d, rexc_ids,
                                       rexc_blocks, Kr, E, sb, on_tpu,
                                       NBr)[:n_rem]
             rec = H._decompress_core_hybrid_v2(
