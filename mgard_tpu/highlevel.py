@@ -652,7 +652,19 @@ def _serialize_hybrid_v2(st, config: Config) -> list:
         _bfp._K_CACHE[key] = (K, None)
     # the kernel's cw are TRUE u32 widths: any chunk wider than K+E (or 16)
     # would have been truncated by the u16 payload -> legacy path
-    cw_max = int(jnp.max(cw)) if cw_h is None else int(cw_h.max())
+    cw_h = np.asarray(cw) if cw_h is None else cw_h
+    cw_max = int(cw_h.max())
+    if not K_cfg and cw_max > K + E and cw_max <= 16:
+        # a STALE sticky K (chosen for a coarser tolerance on this shape)
+        # undersizes the current stream's widths; re-choose from the
+        # already-synced widths and refresh the cache instead of dropping
+        # to the legacy path (tol changes on one shape must not cost the
+        # fast format)
+        hist = np.bincount(np.clip(cw_h, 0, 32), minlength=33)
+        # clamp into [cw_max - E, 16 - E]: the lower end keeps the stream
+        # exception-free, the upper end keeps the u16 payload budget
+        K = min(max(_bfp.choose_K(hist, E, C), cw_max - E), 16 - E)
+        _bfp._K_CACHE[key] = (K, None)
     if K + E > 16 or cw_max > K + E:
         sym = _compress_core_hybrid(
             v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
@@ -689,15 +701,22 @@ def _serialize_hybrid_v3(st, config: Config) -> list:
     (base, resid, cw, rem_state, v, hier, q, padded, nl, rem_hier,
      K, E) = st
     cw_h = np.asarray(cw).ravel()
-    if int(cw_h.max()) > K + E:
-        sym = _compress_core_hybrid(
-            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
-            fused=_hybrid_fused_ok(padded, hier.dtype),
-            zgroup=bool(config.hybrid_level_grouping),
+    cw_max = int(cw_h.max())
+    if cw_max > K + E:
+        # the fused kernel packed with a stale K (tolerance changed on a
+        # primed shape): the banded payload is unusable, but the v2
+        # serializer below re-chooses K from fresh widths, refreshes the
+        # cache (so the NEXT stream fuses correctly) and keeps the fast
+        # flag-1 format; only true u16 overflow drops to legacy there
+        C2 = _pick_v2_chunk(padded, config)
+        pay, cw2, rem_sym = _compress_core_hybrid_v2(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C2
         )
-        lt_eff, dev_state = _raw_encode_device(sym, config)
-        return ([_empty_outliers() + struct.pack("<B", 0)]
-                + _raw_section_parts(lt_eff, dev_state, config))
+        rem_state2 = _raw_encode_device(rem_sym, config)
+        return _serialize_hybrid_v2(
+            (pay, cw2, rem_state2, v, hier, q, padded, nl, rem_hier, C2),
+            config,
+        )
     n_cf = int(np.prod(padded))
     Z = padded[-1]
     C = Z // 32

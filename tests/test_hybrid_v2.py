@@ -182,3 +182,43 @@ def test_long_axis_tile_fallback_parity():
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_o), rtol=0, atol=1e-6
     )
+
+
+def test_stale_sticky_K_rechoose(monkeypatch):
+    """Compressing the same shape at a coarser then a FINER tolerance must
+    keep the fast flag-1 format: the serializer re-chooses K from the
+    fresh widths when the cached K undersizes them, instead of dropping
+    to the legacy path (and it refreshes the cache)."""
+    if jax.default_backend() == "tpu":
+        pytest.skip("CPU-only scenario")
+    from mgard_tpu.lossless import bfp as _bfp
+
+    monkeypatch.setattr(H, "_hybrid_v2_ok", lambda *a, **k: True)
+    monkeypatch.setattr(H, "_pick_v2_chunk", lambda *a, **k: C)
+    monkeypatch.setattr(Hy, "local_transform_fused_v2",
+                        lambda v, iq, nl, c: Hy.local_transform_v2_xla(
+                            v, iq, nl, c))
+    shape = (16, 128, 256)
+    v = np.asarray(_field(shape)).astype(np.float32)
+    n_cf = int(np.prod(shape))
+    E = 8
+    key = ("v2", n_cf, E, C, 0)
+    _bfp._K_CACHE.pop(key, None)
+    b1, s1 = mgard_tpu.compress(v, tol=1e-2, s=np.inf,
+                                mode=mgard_tpu.error_bound_type.ABS)
+    assert int(s1) == 0 and key in _bfp._K_CACHE
+    K1 = _bfp._K_CACHE[key][0]
+    # 1e-4 widens widths by ~7 bits but stays inside the u16 budget
+    # (1e-5 would overflow u16 entirely -> the legitimate legacy path)
+    b2, s2 = mgard_tpu.compress(v, tol=1e-4, s=np.inf,
+                                mode=mgard_tpu.error_bound_type.ABS)
+    assert int(s2) == 0
+    K2 = _bfp._K_CACHE[key][0]
+    assert K2 > K1, (K1, K2)  # cache refreshed for the finer widths
+    # both streams stay on the fast flag-1 format (BFP5 cf blob present)
+    assert b1.count(b"BFP5") >= 1 and b2.count(b"BFP5") >= 1
+    for blob, tol in ((b1, 1e-2), (b2, 1e-4)):
+        out, st = mgard_tpu.decompress(blob)
+        assert int(st) == 0
+        assert float(np.max(np.abs(out - v))) <= tol
+    _bfp._K_CACHE.pop(key, None)
