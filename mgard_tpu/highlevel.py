@@ -704,19 +704,32 @@ def _serialize_hybrid_v3(st, config: Config) -> list:
     cw_max = int(cw_h.max())
     if cw_max > K + E:
         # the fused kernel packed with a stale K (tolerance changed on a
-        # primed shape): the banded payload is unusable, but the v2
-        # serializer below re-chooses K from fresh widths, refreshes the
-        # cache (so the NEXT stream fuses correctly) and keeps the fast
-        # flag-1 format; only true u16 overflow drops to legacy there
-        C2 = _pick_v2_chunk(padded, config)
-        pay, cw2, rem_sym = _compress_core_hybrid_v2(
-            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C2
+        # primed shape): the banded payload is unusable. Where the v2
+        # front-end runs (its own gate — a forced/oracle v3 on a non-TPU
+        # host has no v2 kernel), the v2 serializer below re-chooses K
+        # from fresh widths, refreshes the cache (so the NEXT stream
+        # fuses correctly) and keeps the fast flag-1 format; otherwise
+        # (or on true u16 overflow there) the legacy layout is the
+        # fallback.
+        if _hybrid_v2_ok(padded, hier.dtype, config):
+            C2 = _pick_v2_chunk(padded, config)
+            pay, cw2, rem_sym = _compress_core_hybrid_v2(
+                v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C2
+            )
+            rem_state2 = _raw_encode_device(rem_sym, config)
+            return _serialize_hybrid_v2(
+                (pay, cw2, rem_state2, v, hier, q, padded, nl, rem_hier,
+                 C2),
+                config,
+            )
+        sym = _compress_core_hybrid(
+            v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier,
+            fused=_hybrid_fused_ok(padded, hier.dtype),
+            zgroup=bool(config.hybrid_level_grouping),
         )
-        rem_state2 = _raw_encode_device(rem_sym, config)
-        return _serialize_hybrid_v2(
-            (pay, cw2, rem_state2, v, hier, q, padded, nl, rem_hier, C2),
-            config,
-        )
+        lt_eff, dev_state = _raw_encode_device(sym, config)
+        return ([_empty_outliers() + struct.pack("<B", 0)]
+                + _raw_section_parts(lt_eff, dev_state, config))
     n_cf = int(np.prod(padded))
     Z = padded[-1]
     C = Z // 32

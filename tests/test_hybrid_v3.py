@@ -43,6 +43,35 @@ def _production_K(v, q):
     return bfp.choose_K(hist, E, C)
 
 
+def _hybrid_flag(blob: bytes) -> int:
+    """The hybrid front-end flag byte sits 9 bytes before the cf blob's
+    BFP5 magic (flag u8 + cf_len u64) for flag-1/2 streams."""
+    i = bytes(blob).index(b"BFP5")
+    return blob[i - 9]
+
+
+def _fitting_K(v, shape, tol, nl=NL, E_=E):
+    """Production-style K for the v3 C = Z/32 from the oracle widths,
+    clamped so the stream is exception-free (cw_max <= K + E)."""
+    import mgard_tpu.highlevel as _H
+    from mgard_tpu.hierarchy import get_hierarchy as _gh
+    from mgard_tpu.ops.hybrid import (hybrid_l_total, pad_to8,
+                                      remainder_shape)
+
+    padded = pad_to8(shape)
+    rem_hier = _gh(remainder_shape(padded, nl), np.float32, None,
+                   mgard_tpu.Config())
+    q = _H._hybrid_quantizer(tol, hybrid_l_total(padded, nl, rem_hier))
+    C_ = padded[-1] // 32
+    _, cw, _ = Hy.local_transform_v2_xla(jnp.asarray(v),
+                                         jnp.float32(1.0 / q), nl, C_)
+    cw_h = np.asarray(cw)
+    hist = np.bincount(np.clip(cw_h, 0, 32), minlength=33)
+    K = max(bfp.choose_K(hist, E_, C_), int(cw_h.max()) - E_)
+    assert K + E_ <= 16, (K, E_)
+    return K
+
+
 def test_v3_plan_matches_sort_plan():
     """The in-kernel counting sort must be bit-identical to bfp._sort_plan
     (decode recomputes the identical plan from the sidecar)."""
@@ -140,13 +169,15 @@ def test_v3_stream_via_public_api_cpu(monkeypatch):
     monkeypatch.setattr(Hy, "local_transform_pack_v3",
                         lambda v, iq, nl, K, E:
                         Hy.transform_pack_v3_xla(v, iq, nl, K, E))
-    v = np.asarray(_field((16, 128, 256), seed=9))
+    shape = (16, 128, 256)
+    v = np.asarray(_field(shape, seed=9))
     cfg = mgard_tpu.Config()
-    cfg.bfp_base_planes = 4
+    cfg.bfp_base_planes = _fitting_K(v, shape, 1e-3)
     blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
                                   mode=mgard_tpu.error_bound_type.ABS,
                                   config=cfg)
     assert int(st) == 0
+    assert _hybrid_flag(blob) == 2  # genuinely the fused-v3 stream layout
     out, st2 = mgard_tpu.decompress(blob)
     assert int(st2) == 0
     err = float(np.max(np.abs(out - v)))
@@ -186,20 +217,23 @@ def test_v3_flag_rejects_bad_geometry(monkeypatch):
     monkeypatch.setattr(Hy, "local_transform_pack_v3",
                         lambda v, iq, nl, K, E:
                         Hy.transform_pack_v3_xla(v, iq, nl, K, E))
-    v = np.asarray(_field((16, 128, 256), seed=11))
+    shape = (16, 128, 256)
+    v = np.asarray(_field(shape, seed=11))
     cfg = mgard_tpu.Config()
-    cfg.bfp_base_planes = 4
+    cfg.bfp_base_planes = _fitting_K(v, shape, 1e-3)
     blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
                                   mode=mgard_tpu.error_bound_type.ABS,
                                   config=cfg)
     assert int(st) == 0
+    assert _hybrid_flag(blob) == 2
     # corrupt the BFP5 header's sb field (offset: magic4 + n8 + rows8 +
     # K1 + E1 -> sb u32); the v3 branch must reject sb != 32*Z
+    # (Z=256 -> the correct sb IS 8192, so write a genuinely wrong value)
     i = blob.index(b"BFP5")
     bad = bytearray(blob)
     import struct as S
 
-    S.pack_into("<I", bad, i + 22, 8192)
+    S.pack_into("<I", bad, i + 22, 16384)
     out, st2 = mgard_tpu.decompress(bytes(bad))
     assert out is None and int(st2) != 0
 
