@@ -103,9 +103,19 @@ class Metadata:
     roi_enabled: bool = False
     roi_factor: float = 1.0
 
+    # NOT a wire field: the minimum minor file version the stream's
+    # features actually require (0 unless a 2.1+ section — hybrid flag 2 —
+    # is written). Stamping the minimum keeps older readers able to parse
+    # everything they understand, despite the minor forward-gate below.
+    wire_minor: int = 0
+
     def serialize(self) -> bytes:
         body = bytearray()
-        body += struct.pack("<3B3B", *SOFTWARE_VERSION, *FILE_VERSION)
+        minor = min(int(self.wire_minor), FILE_VERSION[1])
+        body += struct.pack(
+            "<3B3B", *SOFTWARE_VERSION,
+            FILE_VERSION[0], minor, FILE_VERSION[2],
+        )
         body += struct.pack("<B", endiness_type.Little_Endian)
         body += struct.pack("<BB", int(self.dtype), int(self.dstype))
         body += struct.pack("<B", len(self.shape))

@@ -363,7 +363,9 @@ def _hybrid_v3_ok(padded, dtype, config: Config) -> bool:
     ):
         return False
     K, E, _C = _v3_params(config, padded)
-    return K is not None and 1 <= E <= 15 and K + E <= 16
+    # K >= 1: a zero base-plane count would leave the fused kernel's
+    # base_ref output unwritten (declared but never stored to)
+    return K is not None and K >= 1 and 1 <= E <= 15 and K + E <= 16
 
 
 @partial(jax.jit, static_argnames=("shape", "padded", "nl", "rem_hier",
@@ -513,6 +515,20 @@ def _deserialize_outliers(data: bytes, offset: int):
 # Public API
 # ----------------------------------------------------------------------
 _EMPTY_OUTLIERS = None
+
+
+def _sections_wire_minor(sections, config: Config) -> int:
+    """Minimum minor file version the payload requires: 1 (file 2.1) only
+    when a hybrid flag-2 (fused v3) section was actually written, else 0 —
+    so 2.0 readers keep parsing every stream they can decode."""
+    if config.decomposition != decomposition_type.Hybrid:
+        return 0
+    off = len(_empty_outliers())
+    for sec in sections:
+        first = bytes(sec[0]) if not isinstance(sec, (bytes, bytearray)) else bytes(sec)
+        if len(first) > off and first[off] == 2:
+            return 1
+    return 0
 
 
 def _empty_outliers() -> bytes:
@@ -713,12 +729,13 @@ def _serialize_hybrid_v3(st, config: Config) -> list:
         # fallback.
         if _hybrid_v2_ok(padded, hier.dtype, config):
             C2 = _pick_v2_chunk(padded, config)
-            pay, cw2, rem_sym = _compress_core_hybrid_v2(
+            pay, cw2, _rem_sym = _compress_core_hybrid_v2(
                 v, jnp.asarray(q, hier.dtype), padded, nl, rem_hier, C2
             )
-            rem_state2 = _raw_encode_device(rem_sym, config)
+            # the v3 dispatch already encoded the remainder for this same
+            # quantizer — reuse it instead of re-encoding _rem_sym
             return _serialize_hybrid_v2(
-                (pay, cw2, rem_state2, v, hier, q, padded, nl, rem_hier,
+                (pay, cw2, rem_state, v, hier, q, padded, nl, rem_hier,
                  C2),
                 config,
             )
@@ -1036,6 +1053,7 @@ def compress(
             if config.decomposition == decomposition_type.Hybrid
             else 0,
             adjusted=adjusted,
+            wire_minor=_sections_wire_minor(sections, config),
         )
         # single-copy final assembly: header + every section written once
         blob = _join([meta.serialize()] + payload_parts)

@@ -278,6 +278,7 @@ def compress_sharded(
     # sections are bytesink parts lists so the final assembly below writes
     # each payload byte once (same single-copy contract as highlevel)
     from ..highlevel import _raw_section_parts
+    from ..highlevel import _sections_wire_minor as _wire_minor
     from ..utils.bytesink import join as _join, parts_size as _psize
 
     sections = []
@@ -326,6 +327,7 @@ def compress_sharded(
         huff_dict_size=config.huff_dict_size,
         huff_block_size=config.huff_block_size,
         block_delta_block_size=config.block_delta_block_size,
+        wire_minor=_wire_minor(sections, config),
     )
     from ..dtypes import compress_status_type as _st
 

@@ -243,17 +243,40 @@ def test_minor_version_forward_rejection(monkeypatch):
     rejected cleanly (they may carry front-end flags this build cannot
     parse). Written with a VALID CRC so the version gate itself is what
     rejects."""
+    import struct as S
+    import zlib as _zlib
+
     from mgard_tpu.formats import metadata as M
 
     v = np.linspace(0, 1, 4096, dtype=np.float32).reshape(16, 16, 16)
-    future = (M.FILE_VERSION[0], M.FILE_VERSION[1] + 1, 0)
-    monkeypatch.setattr(M, "FILE_VERSION", future)
     blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
                                   mode=mgard_tpu.error_bound_type.ABS)
     assert int(st) == 0
-    monkeypatch.undo()
-    out, st2 = mgard_tpu.decompress(blob)
+    # streams stamp the MINIMUM minor their features need; forge a
+    # future minor (with a valid CRC) to exercise the forward gate
+    buf = bytearray(blob)
+    hdr = len(M.MAGIC)
+    (size,) = S.unpack_from("<I", buf, hdr)
+    body_off = hdr + 8
+    buf[body_off + 4] = M.FILE_VERSION[1] + 1  # file-version minor byte
+    crc = _zlib.crc32(bytes(buf[body_off : body_off + size])) & 0xFFFFFFFF
+    S.pack_into("<II", buf, hdr, size, crc)
+    out, st2 = mgard_tpu.decompress(bytes(buf))
     assert out is None and int(st2) != 0
+
+
+def test_wire_minor_is_minimum_needed():
+    """Flag-0/1 streams must stamp file minor 0 (2.0-reader parseable);
+    only fused-v3 (flag-2) sections require minor 1."""
+    from mgard_tpu.formats import metadata as M
+
+    v = np.linspace(0, 1, 4096, dtype=np.float32).reshape(16, 16, 16)
+    blob, st = mgard_tpu.compress(v, tol=1e-3, s=np.inf,
+                                  mode=mgard_tpu.error_bound_type.ABS)
+    assert int(st) == 0
+    body_off = len(M.MAGIC) + 8
+    assert blob[body_off + 3] == M.FILE_VERSION[0]
+    assert blob[body_off + 4] == 0
 
 
 def test_v3_params_falls_back_to_v2_chunk_key():
