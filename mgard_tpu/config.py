@@ -41,6 +41,16 @@ class Config:
     # selectable and the format is self-describing either way.
     lossless: lossless_type = lossless_type.BFP
 
+    # float64 fast path: when the L-inf error budget covers the exact
+    # f64->f32 cast error (measured on device), compress the f32 image
+    # through the flagship hybrid pipeline with the cast error deducted
+    # from the tolerance — the certified end-to-end bound is unchanged.
+    # The reference instantiates double natively everywhere
+    # (reference: include/compress_x.hpp:31-159); on TPU f64 is an
+    # emulated f32 pair, so the demotion IS the native design. Tight
+    # tolerances (budget < 4x cast error) keep the full f64 transform.
+    f64_demote: bool = True
+
     # --- quantization / entropy knobs ---------------------------------
     estimate_outlier_ratio: float = 1.0
     # Monotone-canonical device Huffman (arithmetic zigzag-rank codes; see

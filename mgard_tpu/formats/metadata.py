@@ -41,7 +41,9 @@ SOFTWARE_VERSION = (0, 2, 0)
 # added, Huffman_LZ4 payload switched zlib -> native LZ4): older streams are
 # rejected with a clean unsupported-version error instead of parsing with
 # shifted offsets (reference analogue: version gate in Metadata.hpp:20-75).
-FILE_VERSION = (2, 1, 0)  # 2.1: hybrid front-end flag 2 (fused v3 tile-major streams)
+FILE_VERSION = (2, 2, 0)  # 2.1: hybrid front-end flag 2 (fused v3 tile-major
+# streams); 2.2: f64 precision-demotion flag (payload is the f32 image of a
+# double field, cast error pre-deducted from the stored tolerance)
 
 
 class FormatError(ValueError):
@@ -103,6 +105,12 @@ class Metadata:
     roi_enabled: bool = False
     roi_factor: float = 1.0
 
+    # f64 precision demotion (file 2.2): the payload encodes float32 data;
+    # dtype above records the ORIGINAL (Double) so decompress returns f64.
+    # The f64->f32 cast error was deducted from tol at compress time, so
+    # the stored (ABS) tolerance certifies the final double output.
+    demoted: bool = False
+
     # NOT a wire field: the minimum minor file version the stream's
     # features actually require (0 unless a 2.1+ section — hybrid flag 2 —
     # is written). Stamping the minimum keeps older readers able to parse
@@ -111,7 +119,11 @@ class Metadata:
 
     def serialize(self) -> bytes:
         body = bytearray()
-        minor = min(int(self.wire_minor), FILE_VERSION[1])
+        # a demoted stream decodes to the wrong dtype on pre-2.2 readers
+        # (they ignore the trailing flag byte), so it must carry minor >= 2
+        # and be cleanly rejected there; plain streams keep the minimum
+        minor = max(int(self.wire_minor), 2 if self.demoted else 0)
+        minor = min(minor, FILE_VERSION[1])
         body += struct.pack(
             "<3B3B", *SOFTWARE_VERSION,
             FILE_VERSION[0], minor, FILE_VERSION[2],
@@ -157,6 +169,10 @@ class Metadata:
             1 if self.hybrid_grouping else 0,
         )
         body += struct.pack("<Bd", 1 if self.roi_enabled else 0, float(self.roi_factor))
+        # trailing 2.2 field: 2.0/2.1 readers parse positionally and never
+        # check for trailing bytes, so appending is forward-safe for every
+        # stream whose features they support (demoted ones are version-gated)
+        body += struct.pack("<B", 1 if self.demoted else 0)
 
         crc = zlib.crc32(bytes(body)) & 0xFFFFFFFF
         header = MAGIC + struct.pack("<II", len(body), crc)
@@ -271,4 +287,8 @@ class Metadata:
         p += 9
         m.roi_enabled = bool(roi_en)
         m.roi_factor = roi_f
+        if p < len(body):  # 2.2+ trailing field; absent in older streams
+            (dem,) = struct.unpack_from("<B", body, p)
+            p += 1
+            m.demoted = bool(dem)
         return m, len(MAGIC) + 8 + size

@@ -846,6 +846,7 @@ def compress(
     mode: error_bound_type = error_bound_type.ABS,
     config: Optional[Config] = None,
     coords: Optional[Sequence[np.ndarray]] = None,
+    _demote_src=None,
 ) -> Tuple[bytes, compress_status_type]:
     """Compress a 1D-5D float32/float64 array under an error bound.
 
@@ -873,6 +874,43 @@ def compress(
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)
         prep = _prep_huffman(config)
+
+        if (
+            _demote_src is None
+            and np.dtype(arr.dtype) == np.float64
+            and s_inf
+            and config.compressor == compressor_type.MGARD
+            and bool(config.f64_demote)
+        ):
+            # f64 fast path (certified precision demotion): when the L-inf
+            # budget covers the exact f64->f32 cast error, compress the f32
+            # image through the flagship pipeline with the cast error
+            # deducted from the tolerance. |out - u| <= (tol_abs - e_c) +
+            # e_c = tol_abs, so the user's bound holds on the DOUBLE data.
+            # TPU f64 is an emulated f32 pair, so this demotion — not an
+            # emulated-f64 transform — is the tpu-native double design
+            # (reference instantiates double natively: compress_x.hpp:31-159).
+            a64 = jnp.asarray(arr)
+            u32 = a64.astype(jnp.float32)
+            e_c = float(jnp.max(jnp.abs(a64 - u32.astype(jnp.float64))))
+            if mode == error_bound_type.REL:
+                abs_tol = float(tol) * float(jnp.max(jnp.abs(a64)))
+            else:
+                abs_tol = float(tol)
+            if (
+                math.isfinite(abs_tol)
+                and math.isfinite(e_c)
+                and abs_tol > 0.0
+                and e_c <= 0.25 * abs_tol
+            ):
+                # 1e-9 relative cushion absorbs the (tiny) rounding of the
+                # device e_c reduction itself
+                rtol = abs_tol - e_c * (1.0 + 1e-9)
+                return compress(
+                    u32, rtol, s, error_bound_type.ABS, config, coords,
+                    _demote_src=dt,
+                )
+            # budget too tight for demotion: native f64 transform below
 
         if config.autotune_lookup:
             # consult the persistent per-(platform, dtype, size) tuner table
@@ -1020,7 +1058,8 @@ def compress(
             config,
         )
         meta = Metadata(
-            dtype=dt,
+            dtype=dt if _demote_src is None else _demote_src,
+            demoted=_demote_src is not None,
             shape=shape,
             dstype=(
                 data_structure_type.Cartesian_Grid_Uniform
@@ -1142,6 +1181,11 @@ def decompress(
         cfg.block_delta_block_size = meta.block_delta_block_size
 
         dtype = np_dtype(meta.dtype)
+        # demoted streams (file 2.2) carry an f32 payload of a double
+        # field: the whole decode pipeline runs in f32, the final cast
+        # restores the declared dtype (bound already certified at
+        # compress time with the cast error deducted)
+        work_dtype = np.dtype(np.float32) if meta.demoted else np.dtype(dtype)
         shape = tuple(meta.shape)
         if getattr(meta, "ctype", compressor_type.MGARD) == compressor_type.ZFP:
             from .zfp import decompress_zfp
@@ -1156,11 +1200,11 @@ def decompress(
         prep = _prep_huffman(cfg)
 
         work_shape = adjust_shape(shape) if meta.adjusted else shape
-        dd = DomainDecomposer.from_metadata(work_shape, dtype, meta, cfg)
+        dd = DomainDecomposer.from_metadata(work_shape, work_dtype, meta, cfg)
         S = dd.num_subdomains
         local_tol = calc_local_abs_tol(meta.ebtype, meta.norm, meta.tol, s, S)
 
-        out = np.empty(work_shape, dtype)
+        out = np.empty(work_shape, work_dtype)
         coords_list = meta.coords
 
         def _dispatch_decompress(i, pos):
@@ -1174,7 +1218,7 @@ def decompress(
             sub_coords = (
                 [c[sl] for c, sl in zip(coords_list, sls)] if coords_list else None
             )
-            hier = get_hierarchy(dd.subdomain_shape(i), dtype, sub_coords, cfg)
+            hier = get_hierarchy(dd.subdomain_shape(i), work_dtype, sub_coords, cfg)
 
             if meta.roi_enabled:
                 (mz_len,) = struct.unpack_from("<Q", blob, pos)
@@ -1261,7 +1305,7 @@ def decompress(
                         f"{int(rem_sym.shape[0])} symbols, expected "
                         f"{int(np.prod(_rem_shape))}"
                     )
-                rem_hier = get_hierarchy(_rem_shape, dtype, None, cfg)
+                rem_hier = get_hierarchy(_rem_shape, work_dtype, None, cfg)
                 qh = _hybrid_quantizer(
                     local_tol, hybrid_l_total(_padded, _nl, rem_hier)
                 )
@@ -1271,7 +1315,7 @@ def decompress(
                     CAP = E * (sb // _bfp.LANES)
                     rec = _decompress_core_hybrid_v3(
                         base3d, crl.reshape(NSB, sbc), rbuf[: NSB * CAP],
-                        rem_sym, jnp.asarray(qh, dtype), hier.shape,
+                        rem_sym, jnp.asarray(qh, work_dtype), hier.shape,
                         _padded, _nl, rem_hier, K, E,
                     )
                 else:
@@ -1280,7 +1324,7 @@ def decompress(
                         n_cf // 32, C,
                     )
                     rec = _decompress_core_hybrid_v2(
-                        zz_rows, rem_sym, jnp.asarray(qh, dtype),
+                        zz_rows, rem_sym, jnp.asarray(qh, work_dtype),
                         hier.shape, _padded, _nl, rem_hier, C,
                     )
                 return rec, sls
@@ -1318,13 +1362,13 @@ def decompress(
                 nl = max(1, min(3, int(meta.nlocal) or 1))
                 padded = pad_to8(hier.shape)
                 rem_hier = get_hierarchy(
-                    remainder_shape(padded, nl), dtype, None, cfg
+                    remainder_shape(padded, nl), work_dtype, None, cfg
                 )
                 q = _hybrid_quantizer(
                     local_tol, hybrid_l_total(padded, nl, rem_hier)
                 )
                 rec = _decompress_core_hybrid(
-                    qflat, jnp.asarray(q, dtype), hier.shape, padded, nl,
+                    qflat, jnp.asarray(q, work_dtype), hier.shape, padded, nl,
                     rem_hier, fused=_hybrid_fused_ok(padded, dtype),
                     zgroup=bool(meta.hybrid_grouping),
                 )
@@ -1373,6 +1417,8 @@ def decompress(
             out[pending[1]] = np.asarray(pending[0])
         if meta.adjusted:
             out = out[tuple(slice(0, s) for s in shape)]
+        if meta.demoted:
+            out = out.astype(dtype)
         t_total.end()
         t_total.print("decompress total", out.nbytes)
         return out, compress_status_type.Success
@@ -1430,15 +1476,22 @@ def _roi_mult(mask_nested, roi_factor: float):
 def compress_roi(
     data,
     tol: float,
-    roi_mask,
+    roi_mask=None,
     roi_factor: float = 16.0,
     s: float = math.inf,
     mode: error_bound_type = error_bound_type.ABS,
     config: Optional[Config] = None,
     coords: Optional[Sequence[np.ndarray]] = None,
+    roi_detect: Optional[dict] = None,
 ) -> Tuple[bytes, compress_status_type]:
     """Compress with a finer error bound (tol/roi_factor) inside a region
-    of interest. roi_mask: boolean array of the data's shape."""
+    of interest. roi_mask: boolean array of the data's shape, or None to
+    detect the region automatically from the data's own multilevel
+    coefficients (ops/roi.py detect_roi — the counterpart of the
+    reference's histogram-driven block selection, adaptive_roi.hpp:30-56
+    driven from compress_roi, include/compress.tpp:64-130). roi_detect:
+    optional kwargs forwarded to detect_roi (init_bw, bw_ratio, thresh,
+    buffer_radius)."""
     config = config or Config()
     if config.decomposition == decomposition_type.Hybrid:
         # ROI step multipliers are defined on the MultiDim nested-box
@@ -1457,10 +1510,6 @@ def compress_roi(
             dt = dtype_enum(arr.dtype)
         except TypeError:
             return b"", compress_status_type.NotSupportDataTypeFailure
-        mask = np.asarray(roi_mask).astype(bool)
-        if mask.shape != arr.shape:
-            raise ValueError("roi_mask shape must match data shape")
-
         shape = tuple(int(x) for x in arr.shape)
         s_inf = math.isinf(s)
         orthogonal = infer_orthogonal_projection(s)
@@ -1468,6 +1517,15 @@ def compress_roi(
         single_dim = config.decomposition == decomposition_type.SingleDim
         coords_list = [np.asarray(c, np.float64) for c in coords] if coords else None
         hier = get_hierarchy(shape, arr.dtype, coords_list, config)
+
+        if roi_mask is None:
+            from .ops.roi import detect_roi
+
+            mask = detect_roi(arr, hier, **(roi_detect or {}))
+        else:
+            mask = np.asarray(roi_mask).astype(bool)
+        if mask.shape != arr.shape:
+            raise ValueError("roi_mask shape must match data shape")
 
         norm = 0.0
         if mode == error_bound_type.REL:
