@@ -74,9 +74,10 @@ def test_compress_roi_auto_end_to_end():
     # bound): uniformly-fine compression must pay for the noise, the
     # auto-ROI stream must not
     shape = (65, 65, 65)
-    v = _feature_field(shape, (0.4, 0.6, 0.5), 0.12, noise=2e-3)
+    v = _feature_field(shape, (0.4, 0.6, 0.5), 0.12, noise=5e-3)
     tol, factor = 1e-2, 100.0
-    blob, st = compress_roi(v, tol, roi_factor=factor)  # no mask: auto
+    det = {"thresh": (0.125, 0.5), "buffer_radius": 2}
+    blob, st = compress_roi(v, tol, roi_factor=factor, roi_detect=det)  # no mask: auto
     assert st == compress_status_type.Success
     out, st2 = decompress(blob)
     assert st2 == compress_status_type.Success
@@ -85,7 +86,7 @@ def test_compress_roi_auto_end_to_end():
     # the fine bound holds where the detector marked (recover the mask the
     # same way the compressor derived it)
     hier = get_hierarchy(shape, v.dtype, None, mgard_tpu.Config())
-    mask = detect_roi(v, hier)
+    mask = detect_roi(v, hier, **det)
     assert mask[int(0.4 * 64), int(0.6 * 64), int(0.5 * 64)]
     assert np.max(np.abs((out - v)[mask])) <= tol / factor
     # cheaper than uniformly-fine compression
