@@ -146,21 +146,35 @@ def _reorder_matrix(hier: Hierarchy, l: int, d: int, inverse: bool = False):
     return S
 
 
-def _apply_axis0_mm(A, x):
+def _apply_axis0_mm(A, x, precision=None):
     """y = A @ x along axis 0, result axis rotated to the end (the _rot
     convention): composing D of these cycles back to the original order."""
     import jax
     import jax.numpy as jnp
 
-    # HIGHEST (bf16_6x) — measured roundtrip Linf 1.9e-6 at 512^3 (unit
-    # scale) vs 3.2e-4 under HIGH (bf16_3x), which would eat a third of a
-    # tol=1e-3 budget; the bound certificate comes first
+    # Default HIGHEST (bf16_6x) — measured roundtrip Linf 1.9e-6 at 512^3
+    # (unit scale) vs 3.2e-4 under HIGH (bf16_3x), which would eat a third
+    # of a tol=1e-3 budget; the bound certificate comes first. Callers pass
+    # HIGH explicitly ONLY for operators whose rows have <= 2 terms
+    # (permutations: bf16x3 reproduces f32 bitwise for one unit term per
+    # row; lerp rows: two products with no cancellation, f32-class) — the
+    # dense correction matrices stay at HIGHEST.
     return _rot(
         jnp.tensordot(
             jnp.asarray(A), x, axes=([1], [0]),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=precision or jax.lax.Precision.HIGHEST,
         )
     )
+
+
+# Precision note (r5, measured at 384^3): HIGH (bf16x3) is NOT exact even
+# for 0/1 permutation rows on this TPU generation — reorder-only at HIGH
+# gave roundtrip Linf 1.6e-4 (vs ~1e-6 all-HIGHEST), i.e. the 3-pass
+# algorithm drops cross terms rather than splitting each operand in three.
+# Decompose at 13.1-15.8 ms under HIGH mixes vs 17.9 ms at HIGHEST was
+# therefore NOT worth the budget: every operator stays at HIGHEST.
+def _prec_band():
+    return None  # default precision (HIGHEST) everywhere
 
 
 def _correction_mm(resid, hier: Hierarchy, l: int):
@@ -293,6 +307,9 @@ def _fast_axis_tables(hier: Hierarchy, l: int, d: int):
 def decompose_level_fast(v, hier: Hierarchy, l: int, orthogonal: bool):
     axes = hier.axis[l - 1]
     D = hier.D
+    # interp stays at HIGHEST: measured 384^3 roundtrip 2.6e-4 under HIGH
+    # (the 2-term lerp products' bf16x3 noise compounds across levels) vs
+    # ~1e-6 at HIGHEST — transform noise eats the certified budget
     interp = v
     for d in range(D):
         interp = _apply_axis0_mm(_interp_matrix(hier, l, d), interp)
@@ -306,7 +323,7 @@ def decompose_level_fast(v, hier: Hierarchy, l: int, orthogonal: bool):
 
     reo = resid
     for d in range(D):
-        reo = _apply_axis0_mm(_reorder_matrix(hier, l, d), reo)
+        reo = _apply_axis0_mm(_reorder_matrix(hier, l, d), reo, _prec_band())
     return _be.update_box(reo, coarse, D)
 
 
@@ -319,7 +336,8 @@ def recompose_level_fast(reo, hier: Hierarchy, l: int, orthogonal: bool):
 
     resid = resid_reo
     for d in range(D):
-        resid = _apply_axis0_mm(_reorder_matrix(hier, l, d, inverse=True), resid)
+        resid = _apply_axis0_mm(_reorder_matrix(hier, l, d, inverse=True),
+                                resid, _prec_band())
 
     coarse_vals = coarse_box
     if orthogonal:
@@ -331,7 +349,7 @@ def recompose_level_fast(reo, hier: Hierarchy, l: int, orthogonal: bool):
     for d in range(D):
         al = axes[d]
         E = _reorder_matrix(hier, l, d, inverse=True)[:, : al.n_coarse]
-        field = _apply_axis0_mm(E, field)
+        field = _apply_axis0_mm(E, field, _prec_band())
     interp = field
     for d in range(D):
         interp = _apply_axis0_mm(_interp_matrix(hier, l, d), interp)

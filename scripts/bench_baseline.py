@@ -172,6 +172,92 @@ def main():
     device_line("3D 256^3 f32 non-uniform s=inf eb=1e-3", v3, hier3,
                 math.inf, 1e-3)
 
+    # ---- 4. 3D 256^3 f64, s=inf (demoted fast path, r4 VERDICT #2) ----
+    # the production double pipeline: exact f64->f32 cast-error pass +
+    # hybrid v2 + BFP in f32, final cast back to f64 — all on device,
+    # throughput in f64 bytes (the user's data)
+    from mgard_tpu.ops.hybrid import hybrid_l_total, pad_to8, remainder_shape
+
+    nf = 256
+    fshape = (nf,) * 3
+    tolf = 1e-3
+    xg = jnp.linspace(0.0, 1.0, nf, dtype=jnp.float64)
+    v64 = jax.jit(lambda x: (
+        jnp.sin(4 * jnp.pi * x)[:, None, None]
+        * jnp.cos(3 * jnp.pi * x)[None, :, None]
+        + jnp.exp(x)[None, None, :] * 0.3
+    ))(xg)
+    padded = pad_to8(fshape)
+    nl = 3
+    rem_hier = get_hierarchy(remainder_shape(padded, nl), np.float32, None, cfg)
+    ec0 = float(jnp.max(jnp.abs(
+        v64 - v64.astype(jnp.float32).astype(jnp.float64))))
+    rtol = tolf - ec0 * (1.0 + 1e-9)
+    qv = H._hybrid_quantizer(rtol, hybrid_l_total(padded, nl, rem_hier))
+    quantf = jnp.asarray(qv, jnp.float32)
+    C = H._pick_v2_chunk(padded, cfg)
+    E = bfp.E_DEFAULT
+    sbf = bfp.SB_BLOCKS
+    Nf = nf ** 3
+    NBf = Nf // 32
+    n_remf = int(np.prod(rem_hier.shape))
+    rem_padf = bfp._pad_to(n_remf, sbf)
+    NBrf = rem_padf // 32
+    if H._hybrid_v2_ok(padded, np.float32, cfg):
+        pay0, cw0, rem0 = H._compress_core_hybrid_v2(
+            v64.astype(jnp.float32), quantf, padded, nl, rem_hier, C)
+        hist = np.bincount(np.clip(np.asarray(cw0), 0, 32), minlength=33)
+        Kf = bfp.choose_K(hist, E, C)
+        hr = np.asarray(bfp._width_hist(jnp.concatenate(
+            [rem0, jnp.zeros(rem_padf - n_remf, jnp.int32)])))
+        Krf = bfp.choose_K(hr, E)
+
+        def comp64(v64, quantf):
+            u32 = v64.astype(jnp.float32)
+            ec = jnp.max(jnp.abs(v64 - u32.astype(jnp.float64)))
+            pay, cw, rem_sym = H._compress_core_hybrid_v2(
+                u32, quantf, padded, nl, rem_hier, C)
+            crl_ = jnp.clip(cw - Kf, 0, E)
+            cf = bfp.encode_core_zz(
+                pay.reshape(-1, C * 32), crl_, Kf, E, sbf, on_tpu, C)
+            rs = jnp.concatenate(
+                [rem_sym, jnp.zeros(rem_padf - n_remf, jnp.int32)])
+            rem = bfp.encode_core(rs, Krf, E, sbf, 8192, on_tpu)
+            return cf + (crl_, ec.astype(jnp.float32)) + rem
+
+        o = jax.jit(comp64)(v64, quantf)
+        basef, resid2df, crlf = o[0], o[1], o[3]
+        rbasef, rcrlf, rresid2df = o[5], o[6], o[7]
+        rexc_idsf, rexc_blocksf = o[9], o[10]
+
+        def dec64(basef, resid2df, crlf, rbasef, rcrlf, rresid2df,
+                  rexc_idsf, rexc_blocksf, quantf):
+            zz = bfp.decode_core_zz(basef, crlf, resid2df, Kf, E, sbf,
+                                    on_tpu, NBf, C)
+            rem_sym = bfp.decode_core(rbasef, rcrlf, rresid2df, rexc_idsf,
+                                      rexc_blocksf, Krf, E, sbf, on_tpu,
+                                      NBrf)[:n_remf]
+            rec32 = H._decompress_core_hybrid_v2(
+                zz, rem_sym, quantf, fshape, padded, nl, rem_hier, C)
+            return rec32.astype(jnp.float64)
+
+        dargs = (basef, resid2df, crlf, rbasef, rcrlf, rresid2df,
+                 rexc_idsf, rexc_blocksf, quantf)
+        rec64 = jax.jit(dec64)(*dargs)
+        errf = float(jnp.max(jnp.abs(rec64 - v64)))
+        t_c = _timed_loop(_loop(comp64), (v64, quantf), floor)
+        t_d = _timed_loop(_loop(dec64), dargs, floor)
+        nb64 = Nf * 8
+        resid_w = C * int(np.asarray(crlf, np.int64).sum())
+        wpb = (resid_w + Kf * NBf + NBf / C / 2) / NBf
+        ratio64 = 64.0 / wpb
+        print(f"3D 256^3 f64 s=inf eb=1e-3 (demoted): compress "
+              f"{nb64/t_c/1e9:.2f} GB/s, decompress {nb64/t_d/1e9:.2f} "
+              f"GB/s, cf-ratio~{ratio64:.1f}, Linf {errf:.2e} "
+              f"bound_ok={errf <= tolf} (cast err {ec0:.2e})")
+    else:
+        print("3D 256^3 f64 demoted: v2 gate failed (unexpected)")
+
     # ---- 3. ROI line (functional; host-coupled API) ----
     nr = 128
     xr = np.linspace(0, 1, nr, dtype=np.float32)
